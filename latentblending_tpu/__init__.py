@@ -1,0 +1,42 @@
+"""latentblending_tpu — TPU-native latent blending framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+lunarring/latentblending: perceptually smooth video transitions between
+text prompts via a diffusion tree of spherically-interpolated SDXL latent
+trajectories, batched and sharded over TPU meshes.
+"""
+
+__version__ = "0.1.0"
+
+from latentblending_tpu.ops import (
+    interpolate_linear,
+    interpolate_spherical,
+    interpolate_spherical_batched,
+)
+
+
+def __getattr__(name):
+    # Lazy heavyweight imports so `import latentblending_tpu` stays cheap.
+    if name == "BlendingEngine":
+        from latentblending_tpu.engine.blending import BlendingEngine
+
+        return BlendingEngine
+    if name == "SDXLHolder":
+        from latentblending_tpu.runtime.holder import SDXLHolder
+
+        return SDXLHolder
+    if name == "add_frames_linear_interp":
+        from latentblending_tpu.video.frames import add_frames_linear_interp
+
+        return add_frames_linear_interp
+    raise AttributeError(name)
+
+
+__all__ = [
+    "BlendingEngine",
+    "SDXLHolder",
+    "interpolate_spherical",
+    "interpolate_spherical_batched",
+    "interpolate_linear",
+    "add_frames_linear_interp",
+]

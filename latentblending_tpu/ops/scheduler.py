@@ -1,0 +1,114 @@
+"""Euler-discrete noise scheduler (SDXL / SDXL-Turbo), pure JAX.
+
+The reference delegates to diffusers' EulerDiscreteScheduler
+(diffusers_holder.py:42,53,330,356). We re-derive the same σ-schedule so
+latent trajectories match:
+
+- betas: scaled_linear, β0=0.00085, β1=0.012, 1000 train steps
+- σ_t  = sqrt((1-ᾱ_t)/ᾱ_t), linear interpolation onto the chosen timesteps
+- timestep_spacing: "leading" (+steps_offset=1) for SDXL-base,
+  "trailing" for SDXL-Turbo (their scheduler_config.json values)
+- prediction_type: epsilon
+- scale_model_input: x / sqrt(σ²+1)
+- step: x_{t-1} = x_t + ε̂ · (σ_{t-1} − σ_t)
+- init_noise_sigma: σ_max for trailing/linspace, sqrt(σ_max²+1) for leading
+
+The σ table is computed on host in float64 and shipped to the device as a
+small float32 vector; the per-step math is jittable and is fused into the
+denoise scan (runtime/denoise.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    timestep_spacing: str = "leading"  # "leading" | "trailing" | "linspace"
+    steps_offset: int = 1
+    prediction_type: str = "epsilon"
+
+
+SDXL_BASE_SCHEDULER = SchedulerConfig(timestep_spacing="leading", steps_offset=1)
+SDXL_TURBO_SCHEDULER = SchedulerConfig(timestep_spacing="trailing", steps_offset=1)
+
+
+def _training_sigmas(cfg: SchedulerConfig) -> np.ndarray:
+    betas = (
+        np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5, cfg.num_train_timesteps, dtype=np.float64)
+        ** 2
+    )
+    alphas_cumprod = np.cumprod(1.0 - betas)
+    return np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerState:
+    """Immutable per-(config, num_steps) schedule tables.
+
+    sigmas has length num_steps+1 (terminal 0 appended); timesteps length
+    num_steps, descending.
+    """
+
+    config: SchedulerConfig
+    num_steps: int
+    timesteps: np.ndarray  # float32 [N]
+    sigmas: np.ndarray  # float32 [N+1]
+
+    @property
+    def init_noise_sigma(self) -> float:
+        if self.config.timestep_spacing in ("linspace", "trailing"):
+            return float(self.sigmas.max())
+        return float((self.sigmas.max() ** 2 + 1.0) ** 0.5)
+
+
+def make_schedule(cfg: SchedulerConfig, num_steps: int) -> SchedulerState:
+    """Equivalent of EulerDiscreteScheduler.set_timesteps for SDXL configs."""
+    T = cfg.num_train_timesteps
+    if cfg.timestep_spacing == "linspace":
+        timesteps = np.linspace(0, T - 1, num_steps, dtype=np.float64)[::-1].copy()
+    elif cfg.timestep_spacing == "leading":
+        step_ratio = T // num_steps
+        timesteps = (np.arange(num_steps, dtype=np.float64) * step_ratio).round()[::-1].copy()
+        timesteps += cfg.steps_offset
+    elif cfg.timestep_spacing == "trailing":
+        step_ratio = T / num_steps
+        timesteps = np.round(np.arange(T, 0, -step_ratio, dtype=np.float64)).copy()
+        timesteps -= 1
+    else:
+        raise ValueError(f"unknown timestep_spacing {cfg.timestep_spacing}")
+
+    train_sigmas = _training_sigmas(cfg)
+    sigmas = np.interp(timesteps, np.arange(T, dtype=np.float64), train_sigmas)
+    sigmas = np.concatenate([sigmas, [0.0]])
+    return SchedulerState(
+        config=cfg,
+        num_steps=num_steps,
+        timesteps=timesteps.astype(np.float32),
+        sigmas=sigmas.astype(np.float32),
+    )
+
+
+def scale_model_input(sample: jax.Array, sigma: jax.Array) -> jax.Array:
+    """x / sqrt(σ²+1) — Karras-style input scaling for the epsilon UNet."""
+    return (sample / jnp.sqrt(sigma.astype(jnp.float32) ** 2 + 1.0)).astype(sample.dtype)
+
+
+def euler_step(
+    sample: jax.Array, model_output: jax.Array, sigma: jax.Array, sigma_next: jax.Array
+) -> jax.Array:
+    """One Euler step, epsilon prediction: x + ε̂·(σ_next − σ).
+
+    Math is done in float32 regardless of the latent dtype.
+    """
+    x = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    out = x + eps * (sigma_next.astype(jnp.float32) - sigma.astype(jnp.float32))
+    return out.astype(sample.dtype)

@@ -1,0 +1,60 @@
+"""Cross-cutting host helpers (yaml IO, time strings, logging).
+
+Reference counterpart: latentblending/utils.py:203-262.
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import time
+
+
+def get_logger(name: str = "latentblending_tpu") -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s"))
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+    return logger
+
+
+def get_time(resolution: str | None = None) -> str:
+    """Formatted time string, e.g. 221117_1620 (reference utils.py:203-221)."""
+    resolution = resolution or "second"
+    if resolution == "day":
+        return time.strftime("%y%m%d", time.localtime())
+    if resolution == "minute":
+        return time.strftime("%y%m%d_%H%M", time.localtime())
+    if resolution == "second":
+        return time.strftime("%y%m%d_%H%M%S", time.localtime())
+    if resolution == "millisecond":
+        t = time.strftime("%y%m%d_%H%M%S", time.localtime())
+        ms = int(datetime.datetime.now().microsecond / 1000)
+        return f"{t}_{ms:03d}"
+    raise ValueError(f"bad resolution provided: {resolution}")
+
+
+def yml_load(fp_yml: str) -> dict:
+    import yaml
+
+    with open(fp_yml) as f:
+        return dict(yaml.load(f, Loader=yaml.SafeLoader))
+
+
+def yml_save(fp_yml: str, dict_stuff: dict) -> None:
+    import yaml
+
+    with open(fp_yml, "w") as f:
+        yaml.dump(dict_stuff, f, sort_keys=False, default_flow_style=False)
+
+
+def json_load(fp: str):
+    with open(fp) as f:
+        return json.load(f)
+
+
+def json_save(fp: str, obj) -> None:
+    with open(fp, "w") as f:
+        json.dump(obj, f, indent=2)

@@ -1,0 +1,79 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentblending_tpu.ops import (
+    SDXL_BASE_SCHEDULER,
+    SDXL_TURBO_SCHEDULER,
+    euler_step,
+    make_schedule,
+    scale_model_input,
+)
+
+
+def test_turbo_timesteps_trailing_n4():
+    # known sdxl-turbo 4-step timesteps (trailing spacing)
+    s = make_schedule(SDXL_TURBO_SCHEDULER, 4)
+    np.testing.assert_array_equal(s.timesteps, [999.0, 749.0, 499.0, 249.0])
+    assert s.sigmas.shape == (5,)
+    assert s.sigmas[-1] == 0.0
+
+
+def test_base_timesteps_leading_n30():
+    s = make_schedule(SDXL_BASE_SCHEDULER, 30)
+    # leading: arange(30)*33 reversed + offset 1
+    want = (np.arange(30) * 33)[::-1] + 1
+    np.testing.assert_array_equal(s.timesteps, want.astype(np.float32))
+
+
+def test_sigma_values_against_formula():
+    # independently recompute sigma for t=999 and t=249
+    betas = np.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
+    ac = np.cumprod(1 - betas)
+    sig = np.sqrt((1 - ac) / ac)
+    s = make_schedule(SDXL_TURBO_SCHEDULER, 4)
+    assert s.sigmas[0] == pytest.approx(sig[999], rel=1e-5)
+    assert s.sigmas[3] == pytest.approx(sig[249], rel=1e-5)
+
+
+def test_init_noise_sigma_conventions():
+    st = make_schedule(SDXL_TURBO_SCHEDULER, 4)
+    assert st.init_noise_sigma == pytest.approx(float(st.sigmas.max()))
+    sb = make_schedule(SDXL_BASE_SCHEDULER, 30)
+    assert sb.init_noise_sigma == pytest.approx(float((sb.sigmas.max() ** 2 + 1) ** 0.5))
+
+
+def test_sigmas_monotone_decreasing():
+    for cfg, n in [(SDXL_TURBO_SCHEDULER, 4), (SDXL_BASE_SCHEDULER, 30), (SDXL_BASE_SCHEDULER, 50)]:
+        s = make_schedule(cfg, n)
+        assert np.all(np.diff(s.sigmas) < 0)
+
+
+def test_scale_model_input():
+    x = jnp.ones((1, 4, 4, 4), jnp.float32)
+    sigma = jnp.float32(3.0)
+    out = scale_model_input(x, sigma)
+    np.testing.assert_allclose(out, 1.0 / np.sqrt(10.0), rtol=1e-6)
+
+
+def test_euler_step_epsilon_math():
+    # x_{t-1} = x + eps*(sigma_next - sigma)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    eps = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    out = np.asarray(euler_step(jnp.array(x), jnp.array(eps), jnp.float32(5.0), jnp.float32(3.0)))
+    np.testing.assert_allclose(out, x + eps * (3.0 - 5.0), rtol=1e-6)
+
+
+def test_full_denoise_converges_with_perfect_eps():
+    """If the model returns the true eps, Euler integration recovers x0
+    exactly in the epsilon parameterization for a linear path."""
+    s = make_schedule(SDXL_TURBO_SCHEDULER, 4)
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    noise = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    x = jnp.array(x0 + s.sigmas[0] * noise)
+    for i in range(4):
+        # perfect epsilon prediction
+        x = euler_step(x, jnp.array(noise), jnp.float32(s.sigmas[i]), jnp.float32(s.sigmas[i + 1]))
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,44 @@
+"""Chained multi-prompt movie (reference example_multi_trans.py): K prompts,
+latent recycling between consecutive transitions, parts concatenated."""
+import argparse
+
+import jax.numpy as jnp
+
+from latentblending_tpu.engine.blending import BlendingEngine
+from latentblending_tpu.engine.session import Keyframe, MovieProject, run_multi_transition
+from latentblending_tpu.runtime.holder import SDXLHolder
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--snapshot", type=str, default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--out", type=str, default="movie_example2.mp4")
+    p.add_argument("--duration_single_trans", type=float, default=10.0)
+    args = p.parse_args()
+
+    if args.tiny or args.snapshot is None:
+        dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+        size, steps = (128, 128), 4
+    else:
+        dh = SDXLHolder.from_pretrained(args.snapshot)
+        size, steps = (1024, 1024), 30 if not dh.is_sdxl_turbo else 4
+
+    be = BlendingEngine(dh)
+
+    prompts = [
+        "photo of a house, high detail",
+        "photo of an elephant in african savannah",
+        "photo of a strange animal, surreal",
+        "photo of a city skyline at night",
+    ]
+    seeds = [911, 951, 213, 441]
+    project = MovieProject(
+        keyframes=[Keyframe(pr, sd) for pr, sd in zip(prompts, seeds)],
+        width=size[0], height=size[1], num_inference_steps=steps,
+    )
+    run_multi_transition(be, project, args.out, duration_single_trans=args.duration_single_trans)
+
+
+if __name__ == "__main__":
+    main()

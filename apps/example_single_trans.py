@@ -1,0 +1,44 @@
+"""Canonical single-transition example (reference example_single_trans.py).
+
+With real SDXL-Turbo weights:
+    python apps/example_single_trans.py --snapshot /path/to/sdxl-turbo
+Weightless dev/demo run (tiny random model, CPU-friendly):
+    python apps/example_single_trans.py --tiny
+"""
+import argparse
+import time
+
+import jax.numpy as jnp
+
+from latentblending_tpu.engine.blending import BlendingEngine
+from latentblending_tpu.runtime.holder import SDXLHolder
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--snapshot", type=str, default=None, help="HF snapshot dir (sdxl-turbo)")
+    p.add_argument("--tiny", action="store_true", help="tiny random model (no weights needed)")
+    p.add_argument("--out", type=str, default="movie_example1.mp4")
+    p.add_argument("--duration", type=float, default=12.0)
+    args = p.parse_args()
+
+    if args.tiny or args.snapshot is None:
+        dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+    else:
+        dh = SDXLHolder.from_pretrained(args.snapshot)
+
+    be = BlendingEngine(dh)
+    be.set_prompt1("underwater landscape, fish, und the sea, incredible detail, high resolution")
+    be.set_prompt2("rendering of an alien planet, strange plants, strange creatures, surreal")
+    be.set_negative_prompt("blurry, ugly, pale")
+
+    t0 = time.time()
+    be.run_transition(fixed_seeds=[420, 421])
+    print(f"transition computed in {time.time() - t0:.2f}s "
+          f"({len(be.tree_final_imgs)} keyframes)")
+    be.write_movie_transition(args.out, duration_transition=args.duration)
+    print(f"movie written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,8 @@ def interpolate_spherical(p0: jax.Array, p1: jax.Array, fract_mixing) -> jax.Arr
     out_dtype = p0.dtype
     a = p0.astype(jnp.float32)
     b = p1.astype(jnp.float32)
-    norm = jnp.linalg.norm(a) * jnp.linalg.norm(b)
+    # zero-norm guard: a zero operand degrades to dot=0 (θ=π/2) instead of NaN
+    norm = jnp.maximum(jnp.linalg.norm(a) * jnp.linalg.norm(b), 1e-20)
     dot = jnp.sum(a * b) / norm
     s0, s1 = _slerp_weights(dot, jnp.asarray(fract_mixing, jnp.float32))
     return (a * s0 + b * s1).astype(out_dtype)
@@ -64,7 +65,7 @@ def interpolate_spherical_batched(p0: jax.Array, p1: jax.Array, fract: jax.Array
     a = p0.astype(jnp.float32)
     b = p1.astype(jnp.float32)
     red = tuple(range(1, a.ndim))
-    norm = jnp.sqrt(jnp.sum(a * a, axis=red) * jnp.sum(b * b, axis=red))
+    norm = jnp.maximum(jnp.sqrt(jnp.sum(a * a, axis=red) * jnp.sum(b * b, axis=red)), 1e-20)
     dot = jnp.sum(a * b, axis=red) / norm
     s0, s1 = _slerp_weights(dot, fract.astype(jnp.float32))
     bshape = (-1,) + (1,) * (a.ndim - 1)

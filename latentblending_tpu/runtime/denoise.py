@@ -1,0 +1,216 @@
+"""The denoising engine: one jitted lax.scan over diffusion steps for a
+whole *batch* of sibling branches.
+
+This is the TPU-first re-architecture of the reference's per-branch Python
+hot loop (reference diffusers_holder.py:312-359):
+
+- start-at-step-k injection (dh:315-319) becomes a static scan window
+  [idx_start, N) — skipped steps are never executed, not masked;
+- the per-step crossfeed slerp toward the parental-mix trajectory
+  (dh:322-324) is fused into the scan body as one batched slerp over all
+  stems (Pallas kernel on TPU, ops/pallas_kernels.py);
+- CFG's sequential ×2 batch (dh:328, :347-349) is folded into the batch
+  axis of the same UNet call;
+- the scheduler's scale_model_input/step (dh:330, :356) are inlined —
+  XLA fuses them with the surrounding elementwise work;
+- the trajectory the reference accumulates via list.append (dh:359) is the
+  scan's stacked ys.
+
+The batch axis carries all sibling stems of one injection level and is
+sharded over the mesh 'data' axis; with per-stem conditioning, guidance
+scale and crossfeed coefficients all batched, one compile serves every stem.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latentblending_tpu.ops.interp import interpolate_spherical_batched
+from latentblending_tpu.ops.scheduler import SchedulerState, euler_step, scale_model_input
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoisePlan:
+    """Static compilation key: (num_steps, idx_start, batch, cfg, rescale)."""
+
+    num_steps: int
+    idx_start: int
+    batch: int
+    use_cfg: bool
+    guidance_rescale: float = 0.0
+
+    @property
+    def exec_steps(self) -> int:
+        return self.num_steps - self.idx_start
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "prompt_embeds",
+        "pooled_embeds",
+        "time_ids",
+        "neg_prompt_embeds",
+        "neg_pooled_embeds",
+        "neg_time_ids",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Conditioning:
+    """Batched SDXL conditioning for one denoise call (all [B, ...])."""
+
+    prompt_embeds: jax.Array  # [B, 77, 2048]
+    pooled_embeds: jax.Array  # [B, 1280]
+    time_ids: jax.Array  # [B, 6]
+    neg_prompt_embeds: Optional[jax.Array] = None
+    neg_pooled_embeds: Optional[jax.Array] = None
+    neg_time_ids: Optional[jax.Array] = None
+
+
+def _rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
+    """CFG rescale per https://arxiv.org/pdf/2305.08891 §3.4 (reference
+    dh:351-353 via diffusers rescale_noise_cfg)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+def denoise_scan(
+    unet_apply: Callable,
+    params,
+    plan: DenoisePlan,
+    latents_start: jax.Array,  # [B, h, w, 4] — state entering step idx_start
+    cond: Conditioning,
+    mix_window: jax.Array,  # [M, B, h, w, 4] crossfeed targets per executed step
+    mix_coeffs: jax.Array,  # [M, B] slerp fractions per executed step & stem
+    sigmas: jax.Array,  # [N+1]
+    timesteps: jax.Array,  # [N]
+    guidance_scale: jax.Array,  # [B]
+) -> jax.Array:
+    """Returns the latent trajectory [M, B, h, w, 4] for steps
+    idx_start..N-1 (the reference's list_latents_out minus the leading
+    Nones)."""
+    M = plan.exec_steps
+    i0 = plan.idx_start
+    sig = sigmas.astype(jnp.float32)
+    ts = timesteps.astype(jnp.float32)
+
+    if plan.use_cfg:
+        pe = jnp.concatenate([cond.neg_prompt_embeds, cond.prompt_embeds], axis=0)
+        pool = jnp.concatenate([cond.neg_pooled_embeds, cond.pooled_embeds], axis=0)
+        tids = jnp.concatenate(
+            [cond.neg_time_ids if cond.neg_time_ids is not None else cond.time_ids, cond.time_ids], axis=0
+        )
+    else:
+        pe, pool, tids = cond.prompt_embeds, cond.pooled_embeds, cond.time_ids
+
+    def body(latents, step):
+        m_t, c_t, sigma, sigma_next, t = step
+        latents = interpolate_spherical_batched(latents, m_t, c_t)
+        lmi = scale_model_input(latents, sigma)
+        if plan.use_cfg:
+            lmi2 = jnp.concatenate([lmi, lmi], axis=0)
+            eps2 = unet_apply(params, lmi2, t, pe, pool, tids)
+            eps_u, eps_t = jnp.split(eps2, 2, axis=0)
+            g = guidance_scale.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            eps = eps_u.astype(jnp.float32) + g * (eps_t.astype(jnp.float32) - eps_u.astype(jnp.float32))
+            if plan.guidance_rescale > 0.0:
+                eps = _rescale_noise_cfg(eps, eps_t.astype(jnp.float32), plan.guidance_rescale)
+        else:
+            eps = unet_apply(params, lmi, t, pe, pool, tids)
+        latents = euler_step(latents, eps, sigma, sigma_next)
+        return latents, latents
+
+    steps = (
+        mix_window,
+        mix_coeffs,
+        jax.lax.dynamic_slice_in_dim(sig, i0, M),
+        jax.lax.dynamic_slice_in_dim(sig, i0 + 1, M),
+        jax.lax.dynamic_slice_in_dim(ts, i0, M),
+    )
+    _, traj = jax.lax.scan(body, latents_start, steps)
+    return traj
+
+
+class DenoiseRunner:
+    """Owns jitted compiled variants of denoise_scan keyed by DenoisePlan.
+
+    idx_start and batch size vary per injection level; each distinct
+    (num_steps, idx_start, batch, use_cfg) combination compiles once and is
+    cached (SURVEY.md §7 hard part c — bounded variant set: one per level).
+    """
+
+    def __init__(self, unet_apply: Callable, donate_latents: bool = False):
+        self._unet_apply = unet_apply
+        self._cache: dict[DenoisePlan, Callable] = {}
+
+    def get(self, plan: DenoisePlan) -> Callable:
+        fn = self._cache.get(plan)
+        if fn is None:
+            fn = jax.jit(functools.partial(denoise_scan, self._unet_apply, plan=plan))
+            # keyword plan is static by closure; jit over array args
+            def wrapped(params, latents_start, cond, mix_window, mix_coeffs, sigmas, timesteps, guidance_scale, _fn=fn):
+                return _fn(
+                    params,
+                    latents_start=latents_start,
+                    cond=cond,
+                    mix_window=mix_window,
+                    mix_coeffs=mix_coeffs,
+                    sigmas=sigmas,
+                    timesteps=timesteps,
+                    guidance_scale=guidance_scale,
+                )
+
+            self._cache[plan] = wrapped
+            fn = wrapped
+        return fn
+
+    def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale):
+        fn = self.get(plan)
+        return fn(
+            params,
+            latents_start,
+            cond,
+            mix_window,
+            mix_coeffs,
+            jnp.asarray(schedule.sigmas),
+            jnp.asarray(schedule.timesteps),
+            guidance_scale,
+        )
+
+
+def build_mix_inputs(
+    num_steps: int,
+    idx_start: int,
+    mix_traj: Optional[np.ndarray | jax.Array],  # [N, B, h, w, 4] (or None)
+    coeffs: Optional[np.ndarray],  # [N] or [N, B]
+    latents_start: jax.Array,  # [B, h, w, 4]
+) -> tuple[jax.Array, jax.Array]:
+    """Host-side packing of the crossfeed window for the scan.
+
+    Executed step j corresponds to global step i = idx_start + j; the
+    reference mixes latents toward mix_traj[i-1] and skips mixing at i==0
+    (dh:322-324). Returns (mix_window [M,B,...], mix_coeffs [M,B]).
+    """
+    M = num_steps - idx_start
+    B = latents_start.shape[0]
+    if mix_traj is None or coeffs is None:
+        mix_window = jnp.broadcast_to(latents_start[None], (M,) + latents_start.shape)
+        return mix_window, jnp.zeros((M, B), jnp.float32)
+    coeffs = np.asarray(coeffs, np.float32)
+    if coeffs.ndim == 1:
+        coeffs = np.tile(coeffs[:, None], (1, B))
+    idx = np.clip(np.arange(idx_start, num_steps) - 1, 0, num_steps - 1)
+    mix_window = jnp.stack([mix_traj[i] for i in idx], axis=0)
+    cw = coeffs[idx_start:num_steps].copy()
+    if idx_start == 0:
+        cw[0] = 0.0  # reference skips crossfeed at step 0
+    return mix_window, jnp.asarray(cw)

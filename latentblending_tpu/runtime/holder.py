@@ -1,0 +1,359 @@
+"""SDXLHolder — the diffusion runtime (reference L1: DiffusersHolder,
+latentblending/diffusers_holder.py:20-366), rebuilt TPU-native.
+
+Where the reference wraps a diffusers pipeline object, this holder OWNS the
+whole stack: flax UNet/VAE/CLIP modules + converted params, our scheduler
+tables, our tokenizer, and a cache of jitted denoise variants. All compute
+entry points are jit-compiled pure functions; the holder itself is a thin
+stateful shell (dims, steps, negative prompt) exactly like the reference's
+setter surface (set_num_inference_steps dh:51, set_dimensions dh:55,
+set_negative_prompt dh:68, get_text_embedding dh:79, get_noise dh:98,
+latent2image dh:114, run_diffusion dh:158/172).
+
+Fidelity decisions vs the reference (SURVEY.md §3.6):
+- add_time_ids encode the REAL output size, fixing the reference's
+  default_sample_size bug (dh:216-217) while keeping output size behavior.
+- get_noise uses jax.random (seeded PRNGKey); per-seed bit parity with
+  torch RNG is impossible — fidelity is defined on outputs (LPIPS).
+- the VAE honors force_upcast by running in float32 (dh:129-139).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latentblending_tpu.models import configs as C
+from latentblending_tpu.models.clip import CLIPTextEncoder
+from latentblending_tpu.models.tokenizer import CLIPTokenizer, HashTokenizer
+from latentblending_tpu.models.unet import UNet2DCondition
+from latentblending_tpu.models.vae import VAE
+from latentblending_tpu.ops.scheduler import (
+    SDXL_BASE_SCHEDULER,
+    SDXL_TURBO_SCHEDULER,
+    SchedulerState,
+    make_schedule,
+)
+from latentblending_tpu.runtime.denoise import (
+    Conditioning,
+    DenoisePlan,
+    DenoiseRunner,
+    build_mix_inputs,
+)
+
+VAE_SCALE_FACTOR = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Architecture bundle for one SDXL variant."""
+
+    name: str
+    unet: C.UNetConfig
+    vae: C.VAEConfig
+    clip1: C.CLIPTextConfig
+    clip2: C.CLIPTextConfig
+    scheduler: Any
+    is_sdxl_turbo: bool
+    default_size: tuple[int, int]
+
+
+SDXL_TURBO = ModelSpec(
+    "sdxl-turbo", C.SDXL_TURBO_UNET, C.SDXL_VAE, C.SDXL_CLIP_L, C.SDXL_CLIP_BIGG,
+    SDXL_TURBO_SCHEDULER, True, (512, 512),
+)
+SDXL_BASE = ModelSpec(
+    "sdxl-base", C.SDXL_BASE_UNET, C.SDXL_VAE, C.SDXL_CLIP_L, C.SDXL_CLIP_BIGG,
+    SDXL_BASE_SCHEDULER, False, (1024, 1024),
+)
+TINY_TURBO = ModelSpec(
+    "tiny-turbo", C.TINY_UNET, C.TINY_VAE, C.TINY_CLIP, C.TINY_CLIP_PROJ,
+    SDXL_TURBO_SCHEDULER, True, (128, 128),
+)
+TINY_BASE = ModelSpec(
+    "tiny-base", C.TINY_UNET, C.TINY_VAE, C.TINY_CLIP, C.TINY_CLIP_PROJ,
+    SDXL_BASE_SCHEDULER, False, (128, 128),
+)
+
+SPECS = {s.name: s for s in (SDXL_TURBO, SDXL_BASE, TINY_TURBO, TINY_BASE)}
+
+
+class SDXLHolder:
+    def __init__(
+        self,
+        spec: ModelSpec | str,
+        params: dict,
+        tokenizer1=None,
+        tokenizer2=None,
+        dtype=jnp.bfloat16,
+        mesh=None,
+    ):
+        """params: {'unet':…, 'vae':…, 'clip1':…, 'clip2':…} flax param trees."""
+        self.spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
+        self.dtype = dtype
+        self.is_sdxl_turbo = self.spec.is_sdxl_turbo
+        self.mesh = mesh
+
+        self.unet = UNet2DCondition(self.spec.unet, dtype=dtype, param_dtype=dtype)
+        self.vae = VAE(self.spec.vae, dtype=jnp.float32, param_dtype=jnp.float32)  # force_upcast
+        self.clip1 = CLIPTextEncoder(self.spec.clip1)
+        self.clip2 = CLIPTextEncoder(self.spec.clip2)
+        self.params = params
+
+        v = self.spec.clip1.vocab_size
+        self.tokenizer1 = tokenizer1 or HashTokenizer(
+            v, bos_token_id=0, eos_token_id=self.spec.clip1.eos_token_id, pad_token_id=self.spec.clip1.eos_token_id
+        )
+        self.tokenizer2 = tokenizer2 or HashTokenizer(
+            self.spec.clip2.vocab_size, bos_token_id=0, eos_token_id=self.spec.clip2.eos_token_id, pad_token_id=0
+        )
+
+        self.negative_prompt = ""
+        self.guidance_scale = 0.0 if self.is_sdxl_turbo else 4.0
+        self.num_inference_steps = 4 if self.is_sdxl_turbo else 30
+        self.schedule: SchedulerState = make_schedule(self.spec.scheduler, self.num_inference_steps)
+        self.set_dimensions(self.spec.default_size)
+
+        unet_apply = lambda p, lat, t, pe, pool, tids: self.unet.apply(
+            {"params": p}, lat, t, pe, pool, tids
+        )
+        self.runner = DenoiseRunner(unet_apply)
+
+        self._encode_jit = jax.jit(self._encode_prompt_fn)
+        self._decode_jit = jax.jit(
+            lambda p, lat: self.vae.apply(
+                {"params": p}, lat.astype(jnp.float32) / self.spec.vae.scaling_factor, method=VAE.decode
+            )
+        )
+
+    # ------------------------------------------------------------- factories
+
+    @classmethod
+    def from_random(cls, spec: ModelSpec | str = "tiny-turbo", seed: int = 0, dtype=jnp.bfloat16, **kw):
+        """Random-weight holder (structure-true): dev/bench without checkpoints."""
+        spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
+        keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+        unet = UNet2DCondition(spec.unet, dtype=dtype, param_dtype=dtype)
+        h = spec.unet.sample_size
+        ctx_dim = spec.unet.cross_attention_dim
+        pooled_dim = spec.clip2.projection_dim or spec.clip2.hidden_size
+        with jax.default_device(jax.devices()[0]):
+            unet_params = unet.init(
+                keys[0], jnp.zeros((1, h, h, 4), dtype), jnp.float32(0.0),
+                jnp.zeros((1, 77, ctx_dim), dtype), jnp.zeros((1, pooled_dim), dtype), jnp.zeros((1, 6), dtype),
+            )["params"]
+            vae = VAE(spec.vae, dtype=jnp.float32, param_dtype=jnp.float32)
+            vae_params = vae.init(
+                keys[1], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 64, 64, 3)), method=VAE.full
+            )["params"]
+            clip1 = CLIPTextEncoder(spec.clip1)
+            clip1_params = clip1.init(keys[2], jnp.zeros((1, 77), jnp.int32))["params"]
+            clip2 = CLIPTextEncoder(spec.clip2)
+            clip2_params = clip2.init(keys[3], jnp.zeros((1, 77), jnp.int32))["params"]
+        params = {"unet": unet_params, "vae": vae_params, "clip1": clip1_params, "clip2": clip2_params}
+        return cls(spec, params, dtype=dtype, **kw)
+
+    @classmethod
+    def from_pretrained(cls, snapshot_dir: str, spec: ModelSpec | str | None = None, dtype=jnp.bfloat16, **kw):
+        """Load a HF snapshot directory (unet/, vae/, text_encoder/,
+        text_encoder_2/, tokenizer/, tokenizer_2/ with safetensors)."""
+        from latentblending_tpu.models.weights import load_clip, load_sdxl_unet, load_sdxl_vae
+
+        if spec is None:
+            spec = SDXL_TURBO if "turbo" in snapshot_dir.lower() else SDXL_BASE
+        spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
+        params = {
+            "unet": load_sdxl_unet(snapshot_dir, dtype),
+            "vae": load_sdxl_vae(snapshot_dir, jnp.float32),
+            "clip1": load_clip(snapshot_dir, "text_encoder", jnp.float32),
+            "clip2": load_clip(snapshot_dir, "text_encoder_2", jnp.float32),
+        }
+        import os
+
+        tok1 = tok2 = None
+        if os.path.isdir(os.path.join(snapshot_dir, "tokenizer")):
+            tok1 = CLIPTokenizer.from_dir(os.path.join(snapshot_dir, "tokenizer"))
+        if os.path.isdir(os.path.join(snapshot_dir, "tokenizer_2")):
+            tok2 = CLIPTokenizer.from_dir(os.path.join(snapshot_dir, "tokenizer_2"))
+        return cls(spec, params, tokenizer1=tok1, tokenizer2=tok2, dtype=dtype, **kw)
+
+    # ----------------------------------------------------------------- state
+
+    def set_num_inference_steps(self, num_inference_steps: int):
+        self.num_inference_steps = int(num_inference_steps)
+        self.schedule = make_schedule(self.spec.scheduler, self.num_inference_steps)
+
+    def set_dimensions(self, size_output: Optional[tuple[int, int]] = None):
+        s = VAE_SCALE_FACTOR
+        if size_output is None:
+            size_output = self.spec.default_size
+        width, height = size_output
+        self.width_img = int(round(width / s) * s)
+        self.height_img = int(round(height / s) * s)
+        self.width_latent = self.width_img // s
+        self.height_latent = self.height_img // s
+
+    def set_negative_prompt(self, negative_prompt):
+        if isinstance(negative_prompt, (list, tuple)):
+            negative_prompt = negative_prompt[0] if negative_prompt else ""
+        self.negative_prompt = negative_prompt
+
+    # ------------------------------------------------------------ text path
+
+    def _encode_prompt_fn(self, clip1_params, clip2_params, ids1, ids2):
+        pen1, _, _ = self.clip1.apply({"params": clip1_params}, ids1)
+        pen2, _, pooled2 = self.clip2.apply({"params": clip2_params}, ids2)
+        embeds = jnp.concatenate([pen1, pen2], axis=-1)
+        return embeds, pooled2
+
+    def get_text_embedding(self, prompt: str):
+        """Returns (prompt_embeds, negative_prompt_embeds, pooled,
+        negative_pooled) — the 4-tuple contract of reference dh:239-244."""
+        ids1 = jnp.asarray(self.tokenizer1([prompt, self.negative_prompt]))
+        ids2 = jnp.asarray(self.tokenizer2([prompt, self.negative_prompt]))
+        embeds, pooled = self._encode_jit(self.params["clip1"], self.params["clip2"], ids1, ids2)
+        return (
+            embeds[0:1].astype(self.dtype),
+            embeds[1:2].astype(self.dtype),
+            pooled[0:1].astype(self.dtype),
+            pooled[1:2].astype(self.dtype),
+        )
+
+    # ----------------------------------------------------------- noise path
+
+    def get_noise(self, seed: int = 420) -> jax.Array:
+        """[1, h_lat, w_lat, 4] seeded gaussian × init_noise_sigma (dh:98-110)."""
+        key = jax.random.PRNGKey(int(seed))
+        lat = jax.random.normal(key, (1, self.height_latent, self.width_latent, 4), jnp.float32)
+        return (lat * self.schedule.init_noise_sigma).astype(self.dtype)
+
+    def default_time_ids(self, batch: int) -> jax.Array:
+        """SDXL micro-conditioning: (orig_h, orig_w, crop_top, crop_left,
+        target_h, target_w) — real output size (fixes reference dh:216-217)."""
+        tid = jnp.array(
+            [[self.height_img, self.width_img, 0, 0, self.height_img, self.width_img]], jnp.float32
+        )
+        return jnp.tile(tid, (batch, 1)).astype(self.dtype)
+
+    @property
+    def do_classifier_free_guidance(self) -> bool:
+        return self.guidance_scale > 1.0
+
+    # --------------------------------------------------------- decode path
+
+    def latent2image(self, latents: jax.Array, output_type: str = "np"):
+        """Final latent → uint8 image (dh:114-143). latents [h,w,4] or [1,h,w,4]."""
+        if latents.ndim == 3:
+            latents = latents[None]
+        img = self._decode_jit(self.params["vae"], latents)
+        img = np.asarray(jnp.clip(img / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)[0]
+        if output_type == "pil":
+            from PIL import Image
+
+            return Image.fromarray(img)
+        return img
+
+    def latents2images_batched(self, latents: jax.Array) -> list[np.ndarray]:
+        """[B,h,w,4] → list of uint8 images via one batched decode."""
+        img = self._decode_jit(self.params["vae"], latents)
+        arr = np.asarray(jnp.clip(img / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+        return [arr[i] for i in range(arr.shape[0])]
+
+    def decode_to_pm1_batched(self, latents: jax.Array) -> jax.Array:
+        """[B,h,w,4] → [B,H,W,3] float images in [-1,1], stays on device
+        (feeds LPIPS without a host round-trip)."""
+        img = self._decode_jit(self.params["vae"], latents)
+        return jnp.clip(img, -1.0, 1.0)
+
+    # -------------------------------------------------------- denoise paths
+
+    def _conditioning(self, text_embeddings, batch: int) -> Conditioning:
+        pe, ne, pool, npool = text_embeddings
+        rep = lambda x: jnp.tile(jnp.asarray(x, self.dtype), (batch,) + (1,) * (jnp.ndim(x) - 1)) if x.shape[0] == 1 else jnp.asarray(x, self.dtype)
+        tids = self.default_time_ids(batch)
+        return Conditioning(
+            prompt_embeds=rep(pe),
+            pooled_embeds=rep(pool),
+            time_ids=tids,
+            neg_prompt_embeds=rep(ne),
+            neg_pooled_embeds=rep(npool),
+            neg_time_ids=tids,
+        )
+
+    def run_diffusion_batched(
+        self,
+        cond: Conditioning,
+        latents_start: jax.Array,  # [B,h,w,4]
+        idx_start: int = 0,
+        mix_traj=None,  # [N,B,h,w,4]
+        mixing_coeffs=None,  # [N] or [N,B]
+        guidance_scale=None,  # [B] or None
+    ) -> jax.Array:
+        """One batched denoise over [idx_start, N); returns traj [M,B,h,w,4]."""
+        B = latents_start.shape[0]
+        N = self.num_inference_steps
+        use_cfg = self.do_classifier_free_guidance
+        if guidance_scale is None:
+            guidance_scale = jnp.full((B,), self.guidance_scale, jnp.float32)
+        plan = DenoisePlan(num_steps=N, idx_start=idx_start, batch=B, use_cfg=use_cfg)
+        mw, mc = build_mix_inputs(N, idx_start, mix_traj, mixing_coeffs, latents_start)
+        return self.runner.run(
+            plan, self.params["unet"], latents_start.astype(self.dtype), cond, mw, mc, self.schedule, guidance_scale
+        )
+
+    def run_diffusion(
+        self,
+        text_embeddings,
+        latents_start: jax.Array,
+        idx_start: int = 0,
+        list_latents_mixing=None,
+        mixing_coeffs=0.0,
+        return_image: bool = False,
+    ):
+        """Reference-compatible single-branch API (dh:158-366): returns the
+        full-length latent list with None for skipped steps."""
+        N = self.num_inference_steps
+        if isinstance(mixing_coeffs, float):
+            coeffs = np.full(N, mixing_coeffs, np.float32)
+        else:
+            coeffs = np.asarray(mixing_coeffs, np.float32)
+            assert len(coeffs) == N
+        mix_traj = None
+        if list_latents_mixing is not None and coeffs.sum() > 0:
+            stacked = []
+            for i in range(N):
+                li = list_latents_mixing[i]
+                stacked.append(jnp.zeros_like(latents_start) if li is None else jnp.asarray(li, self.dtype))
+            mix_traj = jnp.stack(stacked, axis=0)
+        cond = self._conditioning(text_embeddings, 1)
+        traj = self.run_diffusion_batched(
+            cond, latents_start, idx_start, mix_traj, coeffs if mix_traj is not None else None
+        )
+        out: list = [None] * idx_start + [traj[j] for j in range(N - idx_start)]
+        if return_image:
+            return self.latent2image(out[-1])
+        return out
+
+    # ------------------------------------------------------------- timing
+
+    def benchmark_speed(self) -> tuple[float, float]:
+        """Measure one compiled UNet step and one VAE decode — feeds the
+        compute-budget planner (reference blending_engine.py:100-118)."""
+        te = self.get_text_embedding("test")
+        lat = self.get_noise(0)
+        # warmup/compile: single step at the end of the schedule
+        _ = self.run_diffusion(te, lat, idx_start=self.num_inference_steps - 1)
+        t0 = time.time()
+        out = self.run_diffusion(te, lat, idx_start=self.num_inference_steps - 1)
+        jax.block_until_ready(out[-1])
+        dt_unet_step = time.time() - t0
+        img = self.latent2image(out[-1])  # compile
+        t0 = time.time()
+        img = self.latent2image(out[-1])
+        dt_vae = time.time() - t0
+        return dt_unet_step, dt_vae

@@ -1,0 +1,133 @@
+"""Movie IO: MovieSaver + concatenate_movies.
+
+Replaces the reference's lunar_tools ffmpeg wrappers (reference
+blending_engine.py:703-706, gradio_ui.py:260). Backend: the ffmpeg binary
+when present, else OpenCV's VideoWriter (mp4v) — this environment ships
+cv2 but no ffmpeg.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+
+def _has_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+class MovieSaver:
+    """Streaming MP4 writer: write_frame(uint8 HWC RGB) … finalize()."""
+
+    def __init__(self, fp_movie: str, fps: int = 30, shape_hw: tuple[int, int] | None = None, crf: int = 21):
+        self.fp_movie = fp_movie
+        self.fps = fps
+        self.shape_hw = tuple(shape_hw) if shape_hw is not None else None
+        self.crf = crf
+        self.nmb_frames = 0
+        self._writer = None
+        self._proc = None
+        if os.path.isfile(fp_movie):
+            os.remove(fp_movie)
+        d = os.path.dirname(fp_movie)
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    def _open(self, h: int, w: int):
+        self.shape_hw = (h, w)
+        if _has_ffmpeg():
+            self._proc = subprocess.Popen(
+                [
+                    "ffmpeg", "-y", "-loglevel", "error",
+                    "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(self.fps),
+                    "-i", "-", "-c:v", "libx264", "-crf", str(self.crf), "-pix_fmt", "yuv420p",
+                    self.fp_movie,
+                ],
+                stdin=subprocess.PIPE,
+            )
+        else:
+            import cv2
+
+            self._writer = cv2.VideoWriter(
+                self.fp_movie, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+            )
+            if not self._writer.isOpened():
+                raise RuntimeError(f"cv2.VideoWriter failed to open {self.fp_movie}")
+
+    def write_frame(self, img: np.ndarray):
+        img = np.asarray(img)
+        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3, "expects uint8 HWC RGB"
+        if self._writer is None and self._proc is None:
+            h, w = (self.shape_hw or img.shape[:2])
+            self._open(h, w)
+        if self.shape_hw is not None and img.shape[:2] != tuple(self.shape_hw):
+            raise ValueError(f"frame shape {img.shape[:2]} != movie shape {self.shape_hw}")
+        if self._proc is not None:
+            self._proc.stdin.write(img.tobytes())
+        else:
+            import cv2
+
+            self._writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        self.nmb_frames += 1
+
+    def finalize(self):
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.wait()
+            self._proc = None
+        elif self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+
+def read_movie_frames(fp_movie: str) -> list[np.ndarray]:
+    """Decode an mp4 back to a list of uint8 RGB frames (cv2)."""
+    import cv2
+
+    cap = cv2.VideoCapture(fp_movie)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return frames
+
+
+def concatenate_movies(fp_final: str, list_fp_movies: list[str], fps: int | None = None):
+    """Concatenate MP4 parts into one movie (reference
+    example_multi_trans.py:62)."""
+    assert list_fp_movies, "nothing to concatenate"
+    if _has_ffmpeg():
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            for fp in list_fp_movies:
+                f.write(f"file '{os.path.abspath(fp)}'\n")
+            list_path = f.name
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-f", "concat", "-safe", "0",
+                 "-i", list_path, "-c", "copy", fp_final],
+                check=True,
+            )
+        finally:
+            os.unlink(list_path)
+        return
+    import cv2
+
+    cap = cv2.VideoCapture(list_fp_movies[0])
+    fps_in = fps or cap.get(cv2.CAP_PROP_FPS) or 30
+    cap.release()
+    writer = None
+    for fp in list_fp_movies:
+        for frame in read_movie_frames(fp):
+            if writer is None:
+                h, w = frame.shape[:2]
+                ms = MovieSaver(fp_final, fps=int(round(fps_in)), shape_hw=(h, w))
+                writer = ms
+            writer.write_frame(frame)
+    if writer is not None:
+        writer.finalize()

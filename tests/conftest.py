@@ -1,15 +1,22 @@
-"""Test bootstrap: force an 8-virtual-device CPU platform before JAX loads.
+"""Test bootstrap: force an 8-virtual-device CPU platform.
+
+The environment pre-imports jax (sitecustomize) with JAX_PLATFORMS=axon
+(the real TPU), so setting env vars here is too late for the platform
+selection — use jax.config.update instead. XLA_FLAGS is still read lazily
+at backend init, so the forced host device count works as long as no
+backend has been initialized yet.
 
 All tests run on CPU so they are hermetic; sharding tests exercise a real
-8-device mesh via --xla_force_host_platform_device_count.
+8-device mesh.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+assert len(jax.devices()) == 8, "CPU virtual device forcing failed"

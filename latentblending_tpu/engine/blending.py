@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from latentblending_tpu.models.lpips import LPIPSScorer
+from latentblending_tpu.profiling import PhaseTimer, TransitionReport
 from latentblending_tpu.ops.interp import interpolate_linear_pytree, interpolate_spherical_batched
 from latentblending_tpu.ops.schedules import (
     branch1_crossfeed_coeffs,
@@ -90,6 +91,8 @@ class BlendingEngine:
         self.text_embedding2 = None
         self.multi_transition_img_first = None
         self.multi_transition_img_last = None
+        self.timer = PhaseTimer()
+        self.last_report = TransitionReport()
 
         self.set_dimensions()
         self.set_guidance_scale()
@@ -217,6 +220,10 @@ class BlendingEngine:
                 assert len(fixed_seeds) == 2, "Supply a list with len = 2"
             self.seed1, self.seed2 = int(fixed_seeds[0]), int(fixed_seeds[1])
 
+        t_run0 = time.time()
+        self.timer = PhaseTimer()
+        self.last_report = TransitionReport(num_steps=self.num_inference_steps)
+
         ok1 = recycle_img1 and self.tree_latents[0] is not None and len(self.tree_latents[0]) == self.num_inference_steps
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps
 
@@ -244,12 +251,20 @@ class BlendingEngine:
             nmb_stems = self.list_nmb_stems[s_idx]
             idx_injection = self.list_idx_injection[s_idx]
             batch = nmb_stems if stem_batch == 0 else stem_batch
+            t_lvl = time.time()
             done = 0
             while done < nmb_stems:
                 k = min(batch, nmb_stems - done)
                 self._run_stem_round(k, idx_injection)
                 done += k
+            self.last_report.levels.append(
+                {"idx_injection": int(idx_injection), "stems": int(nmb_stems), "wall_s": round(time.time() - t_lvl, 3)}
+            )
 
+        self.last_report.num_keyframes = len(self.tree_final_imgs)
+        self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
+        self.last_report.phases = self.timer.summary()
+        self.last_report.wall_s = time.time() - t_run0
         return self.tree_final_imgs
 
     # ------------------------------------------------- edge (keyframe) paths
@@ -355,6 +370,7 @@ class BlendingEngine:
         """Plan, compute and insert k sibling stems as one batched denoise +
         decode + LPIPS round."""
         N = self.num_inference_steps
+        timer = getattr(self, "timer", None) or PhaseTimer()
         placements = self._plan_placements(k, idx_injection)
 
         # parental mix trajectories [N, k, h, w, 4]
@@ -380,21 +396,25 @@ class BlendingEngine:
         cond = self._stack_conditionings([f for f, _, _ in placements])
         guidance = jnp.asarray([self._guidance_at(f) for f, _, _ in placements], jnp.float32)
 
-        traj = self.dh.run_diffusion_batched(
-            cond, latents_start, idx_start=idx_injection, mix_traj=mix_traj,
-            mixing_coeffs=coeffs, guidance_scale=guidance,
-        )  # [N - idx_injection, k, h, w, 4]
+        with timer.phase("denoise"):
+            traj = self.dh.run_diffusion_batched(
+                cond, latents_start, idx_start=idx_injection, mix_traj=mix_traj,
+                mixing_coeffs=coeffs, guidance_scale=guidance,
+            )  # [N - idx_injection, k, h, w, 4]
+            jax.block_until_ready(traj)
 
         # batched decode of the k final latents
-        imgs = self.dh.latents2images_batched(traj[-1])
+        with timer.phase("vae_decode"):
+            imgs = self.dh.latents2images_batched(traj[-1])
 
         # insert in fract order; similarities measured per insert
         order = sorted(range(k), key=lambda i: placements[i][0])
         M = N - idx_injection
-        for i in order:
-            fract_mixing = placements[i][0]
-            list_latents = [None] * idx_injection + [traj[j, i : i + 1] for j in range(M)]
-            self.insert_into_tree(fract_mixing, idx_injection, list_latents, img_insert=imgs[i])
+        with timer.phase("lpips_insert"):
+            for i in order:
+                fract_mixing = placements[i][0]
+                list_latents = [None] * idx_injection + [traj[j, i : i + 1] for j in range(M)]
+                self.insert_into_tree(fract_mixing, idx_injection, list_latents, img_insert=imgs[i])
 
     def insert_into_tree(self, fract_mixing, idx_injection, list_latents, img_insert=None):
         """Sorted insert + incremental similarity update (reference

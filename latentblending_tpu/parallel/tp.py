@@ -1,0 +1,62 @@
+"""Tensor parallelism for the SDXL UNet over the mesh 'model' axis.
+
+The reference has no multi-device story at all (SURVEY.md §2.3); data
+parallelism over sibling stems (parallel/mesh.py) is the primary strategy.
+TP is the secondary axis for latency-bound configs (SDXL-base 1024², small
+stem counts): the transformer blocks — which carry most of SDXL's FLOPs
+(10-layer stacks at the 1280-channel level) — are sharded Megatron-style:
+
+  to_q/to_k/to_v, ff.net_0.proj      → column-parallel (output dim sharded
+                                        == attention heads sharded)
+  to_out_0, ff.net_2                 → row-parallel (input dim sharded)
+
+Everything else (convs, norms, embeddings) stays replicated: XLA inserts
+the psum after row-parallel layers from the sharding propagation — no
+hand-written collectives. Annotating params is sufficient under jit.
+"""
+from __future__ import annotations
+
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec) — first match wins. Paths are '/'-joined
+# param tree keys ending in kernel/bias/scale/embedding.
+_UNET_TP_RULES: list[tuple[str, P]] = [
+    # column-parallel: shard output features over 'model'
+    (r".*/(to_q|to_k|to_v)/kernel$", P(None, "model")),
+    (r".*/ff/net_0/proj/kernel$", P(None, "model")),
+    (r".*/ff/net_0/proj/bias$", P("model")),
+    # row-parallel: shard input features; output needs psum (XLA inserts it)
+    (r".*/to_out_0/kernel$", P("model", None)),
+    (r".*/ff/net_2/kernel$", P("model", None)),
+]
+
+
+def unet_tp_specs(params, mesh: Mesh) -> dict:
+    """PartitionSpec pytree for UNet params: TP rules + replicated default."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    out = {}
+    for path, value in flat.items():
+        key = "/".join(path)
+        spec = P()
+        for pattern, rule in _UNET_TP_RULES:
+            if re.match(pattern, key):
+                # only shard when the dimension divides evenly
+                dim = next((i for i, ax in enumerate(rule) if ax == "model"), None)
+                if dim is not None and value.shape[dim] % mesh.shape["model"] == 0:
+                    spec = rule
+                break
+        out[path] = spec
+    return unflatten_dict(out)
+
+
+def shard_unet_params(params, mesh: Mesh):
+    """Place UNet params per the TP rules (replicated over 'data')."""
+    specs = unet_tp_specs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

@@ -91,16 +91,21 @@ class SDXLHolder:
         tokenizer1=None,
         tokenizer2=None,
         dtype=jnp.bfloat16,
+        vae_dtype=jnp.float32,
         mesh=None,
     ):
-        """params: {'unet':…, 'vae':…, 'clip1':…, 'clip2':…} flax param trees."""
+        """params: {'unet':…, 'vae':…, 'clip1':…, 'clip2':…} flax param trees.
+
+        vae_dtype: float32 honors the reference's force_upcast rule
+        (dh:129-139, an fp16-overflow workaround). bfloat16 is safe on TPU
+        (f32 exponent range) and ~2× faster — opt in per deployment."""
         self.spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
         self.dtype = dtype
         self.is_sdxl_turbo = self.spec.is_sdxl_turbo
         self.mesh = mesh
 
         self.unet = UNet2DCondition(self.spec.unet, dtype=dtype, param_dtype=dtype)
-        self.vae = VAE(self.spec.vae, dtype=jnp.float32, param_dtype=jnp.float32)  # force_upcast
+        self.vae = VAE(self.spec.vae, dtype=vae_dtype, param_dtype=vae_dtype)
         self.clip1 = CLIPTextEncoder(self.spec.clip1)
         self.clip2 = CLIPTextEncoder(self.spec.clip2)
         self.params = params
@@ -181,6 +186,30 @@ class SDXLHolder:
         if os.path.isdir(os.path.join(snapshot_dir, "tokenizer_2")):
             tok2 = CLIPTokenizer.from_dir(os.path.join(snapshot_dir, "tokenizer_2"))
         return cls(spec, params, tokenizer1=tok1, tokenizer2=tok2, dtype=dtype, **kw)
+
+    # --------------------------------------------------------- param caching
+
+    def save_params(self, ckpt_dir: str):
+        """Persist converted params with orbax so HF→flax conversion is paid
+        once (no reference counterpart — weights there reload via diffusers
+        every process start)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.abspath(ckpt_dir), self.params, force=True)
+        ckpt.wait_until_finished()
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, spec: ModelSpec | str, dtype=jnp.bfloat16, **kw):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        params = ckpt.restore(os.path.abspath(ckpt_dir))
+        return cls(spec, params, dtype=dtype, **kw)
 
     # ----------------------------------------------------------------- state
 
@@ -338,6 +367,9 @@ class SDXLHolder:
         if return_image:
             return self.latent2image(out[-1])
         return out
+
+    # API-parity alias (reference dh:172 names the SDXL loop explicitly)
+    run_diffusion_sd_xl = run_diffusion
 
     # ------------------------------------------------------------- timing
 

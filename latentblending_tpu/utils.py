@@ -36,6 +36,29 @@ def get_time(resolution: str | None = None) -> str:
     raise ValueError(f"bad resolution provided: {resolution}")
 
 
+def get_spacing(nmb_points: int, scaling: float):
+    """Nonlinear [0,1] spacing, denser around 0.5 (reference utils.py:181-200;
+    dead code there, kept for API completeness)."""
+    import numpy as np
+
+    if scaling < 1.7:
+        return np.linspace(0, 1, nmb_points)
+    nmb_points_per_side = nmb_points // 2 + 1
+    left = np.abs(np.linspace(1, 0, nmb_points_per_side) ** scaling / 2 - 0.5)
+    if nmb_points % 2 != 0:
+        right = 1 - left[::-1][1:]
+    else:
+        left = left[:-1]
+        right = 1 - left[::-1]
+    return np.hstack([left, right])
+
+
+def compare_dicts(a: dict, b: dict) -> dict:
+    """Keys shared by a and b whose values differ, stacked (reference
+    utils.py:224-242)."""
+    return {k: [a[k], b[k]] for k in a if k in b and a[k] != b[k]}
+
+
 def yml_load(fp_yml: str) -> dict:
     import yaml
 

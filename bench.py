@@ -66,7 +66,7 @@ def main():
             "transition_s": round(t_transition, 3),
             "keyframes": len(be.tree_final_imgs),
             "dt_unet_step_s": round(be.dt_unet_step, 4),
-            "dt_vae_s": round(be.dt_vae, 4),
+            "phases": be.last_report.phases,
             "setup_s": round(setup_s, 1),
             "device": str(jax.devices()[0]),
         },

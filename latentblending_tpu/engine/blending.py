@@ -62,7 +62,7 @@ class BlendingEngine:
         mid_compression_scaler: float = 1.2,
         stem_batch: int = 0,
         lpips_params=None,
-        run_benchmark: bool = True,
+        run_benchmark: bool | None = None,
     ):
         assert 0.0 < guidance_scale_mid_damper <= 1.0, (
             f"guidance_scale_mid_damper needs to be in interval (0,1], you provided {guidance_scale_mid_damper}"
@@ -105,6 +105,10 @@ class BlendingEngine:
         self.set_num_inference_steps()
         self.dt_unet_step = 0.01
         self.dt_vae = 0.01
+        if run_benchmark is None:
+            # turbo's branching plan never consumes the timings (reference
+            # blending_engine.py:273-283) — skip a whole compiled variant
+            run_benchmark = not self.dh.is_sdxl_turbo
         if run_benchmark:
             self.benchmark_speed()
         self.set_branching()

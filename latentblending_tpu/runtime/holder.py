@@ -109,6 +109,9 @@ class SDXLHolder:
         self.clip1 = CLIPTextEncoder(self.spec.clip1)
         self.clip2 = CLIPTextEncoder(self.spec.clip2)
         self.params = params
+        # HBM plan (v5e 16GB): batched VAE decodes run in chunks so the
+        # full-res decoder activations (512·512·128ch · B) stay bounded.
+        self.decode_chunk = 4
 
         v = self.spec.clip1.vocab_size
         self.tokenizer1 = tokenizer1 or HashTokenizer(
@@ -156,9 +159,11 @@ class SDXLHolder:
             vae_params = vae.init(
                 keys[1], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 64, 64, 3)), method=VAE.full
             )["params"]
-            clip1 = CLIPTextEncoder(spec.clip1)
+            # CLIP params stored bf16 (halves the ~3.3GB f32 tower footprint;
+            # compute stays f32 via module dtype — promotion at use)
+            clip1 = CLIPTextEncoder(spec.clip1, param_dtype=dtype)
             clip1_params = clip1.init(keys[2], jnp.zeros((1, 77), jnp.int32))["params"]
-            clip2 = CLIPTextEncoder(spec.clip2)
+            clip2 = CLIPTextEncoder(spec.clip2, param_dtype=dtype)
             clip2_params = clip2.init(keys[3], jnp.zeros((1, 77), jnp.int32))["params"]
         params = {"unet": unet_params, "vae": vae_params, "clip1": clip1_params, "clip2": clip2_params}
         return cls(spec, params, dtype=dtype, **kw)
@@ -175,8 +180,10 @@ class SDXLHolder:
         params = {
             "unet": load_sdxl_unet(snapshot_dir, dtype),
             "vae": load_sdxl_vae(snapshot_dir, jnp.float32),
-            "clip1": load_clip(snapshot_dir, "text_encoder", jnp.float32),
-            "clip2": load_clip(snapshot_dir, "text_encoder_2", jnp.float32),
+            # bf16 storage, f32 compute (promotion) — fidelity loss is far
+            # below the bf16 UNet's own noise floor
+            "clip1": load_clip(snapshot_dir, "text_encoder", dtype),
+            "clip2": load_clip(snapshot_dir, "text_encoder_2", dtype),
         }
         import os
 
@@ -288,10 +295,22 @@ class SDXLHolder:
         return img
 
     def latents2images_batched(self, latents: jax.Array) -> list[np.ndarray]:
-        """[B,h,w,4] → list of uint8 images via one batched decode."""
-        img = self._decode_jit(self.params["vae"], latents)
-        arr = np.asarray(jnp.clip(img / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
-        return [arr[i] for i in range(arr.shape[0])]
+        """[B,h,w,4] → list of uint8 images via chunked batched decodes."""
+        outs = []
+        B = latents.shape[0]
+        c = max(1, self.decode_chunk)
+        for i in range(0, B, c):
+            chunk = latents[i : i + c]
+            if chunk.shape[0] != c and B > c:
+                # pad to the chunk size to avoid an extra compiled variant
+                pad = c - chunk.shape[0]
+                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)], axis=0)
+                img = self._decode_jit(self.params["vae"], chunk)[: -pad or None]
+            else:
+                img = self._decode_jit(self.params["vae"], chunk)
+            arr = np.asarray(jnp.clip(img / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+            outs.extend(arr[j] for j in range(arr.shape[0]))
+        return outs
 
     def decode_to_pm1_batched(self, latents: jax.Array) -> jax.Array:
         """[B,h,w,4] → [B,H,W,3] float images in [-1,1], stays on device

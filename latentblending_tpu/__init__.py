@@ -21,7 +21,9 @@ def __getattr__(name):
         from latentblending_tpu.engine.blending import BlendingEngine
 
         return BlendingEngine
-    if name == "SDXLHolder":
+    if name in ("SDXLHolder", "DiffusersHolder"):
+        # DiffusersHolder: drop-in alias easing migration from the reference
+        # package (its L1 class of the same name)
         from latentblending_tpu.runtime.holder import SDXLHolder
 
         return SDXLHolder
@@ -35,6 +37,7 @@ def __getattr__(name):
 __all__ = [
     "BlendingEngine",
     "SDXLHolder",
+    "DiffusersHolder",
     "interpolate_spherical",
     "interpolate_spherical_batched",
     "interpolate_linear",

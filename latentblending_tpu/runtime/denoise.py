@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from latentblending_tpu.ops.interp import interpolate_spherical_batched
+from latentblending_tpu.ops.pallas_kernels import slerp_batched_auto
 from latentblending_tpu.ops.scheduler import SchedulerState, euler_step, scale_model_input
 
 
@@ -114,7 +114,8 @@ def denoise_scan(
 
     def body(latents, step):
         m_t, c_t, sigma, sigma_next, t = step
-        latents = interpolate_spherical_batched(latents, m_t, c_t)
+        # crossfeed slerp — single-pass Pallas kernel on TPU
+        latents = slerp_batched_auto(latents, m_t, c_t)
         lmi = scale_model_input(latents, sigma)
         if plan.use_cfg:
             lmi2 = jnp.concatenate([lmi, lmi], axis=0)

@@ -43,8 +43,9 @@ def main():
     be.set_negative_prompt("blurry, ugly, pale")
     setup_s = time.time() - t_setup
 
-    # warm-up: compile every denoise/decode variant the transition uses
+    # warm-up: compile every denoise/decode/fill-up variant the run uses
     be.run_transition(fixed_seeds=[420, 421])
+    be.write_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=DURATION_S, fps=FPS)
 
     fp_movie = "/tmp/lb_bench_movie.mp4"
     t0 = time.time()

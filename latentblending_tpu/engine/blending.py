@@ -86,6 +86,9 @@ class BlendingEngine:
         self.tree_final_imgs: list = []
         self.tree_idx_injection: list = [0, 0]
         self.tree_similarities: list = []
+        # device-resident [-1,1] keyframes, parallel to tree_final_imgs —
+        # feed LPIPS without host round-trips
+        self._imgs_dev: list = []
 
         self.text_embedding1 = None
         self.text_embedding2 = None
@@ -243,12 +246,13 @@ class BlendingEngine:
 
         self.tree_latents = [list_latents1, list_latents2]
         self.tree_fracts = [0.0, 1.0]
-        self.tree_final_imgs = [
-            self.dh.latent2image(self.tree_latents[0][-1]),
-            self.dh.latent2image(self.tree_latents[-1][-1]),
-        ]
+        edge_finals = jnp.concatenate([list_latents1[-1], list_latents2[-1]], axis=0)
+        edge_pm1 = self.dh.decode_to_pm1_batched(edge_finals)
+        edge_u8 = self.dh.pm1_to_uint8(edge_pm1)
+        self.tree_final_imgs = [edge_u8[0], edge_u8[1]]
+        self._imgs_dev = [edge_pm1[0], edge_pm1[1]]
         self.tree_idx_injection = [0, 0]
-        self.tree_similarities = self.get_tree_similarities()
+        self.tree_similarities = self._batched_similarities()
 
         stem_batch = self.stem_batch
         for s_idx in range(len(self.list_idx_injection)):
@@ -407,22 +411,33 @@ class BlendingEngine:
             )  # [N - idx_injection, k, h, w, 4]
             jax.block_until_ready(traj)
 
-        # batched decode of the k final latents
+        # batched decode of the k final latents (kept on device for LPIPS)
         with timer.phase("vae_decode"):
-            imgs = self.dh.latents2images_batched(traj[-1])
+            imgs_pm1 = self.dh.decode_to_pm1_batched(traj[-1])
+            imgs_u8 = self.dh.pm1_to_uint8(imgs_pm1)
 
-        # insert in fract order; similarities measured per insert
+        # insert in fract order; all gap similarities recomputed in ONE
+        # batched LPIPS pass (identical values to the reference's
+        # incremental updates — LPIPS is deterministic per pair)
         order = sorted(range(k), key=lambda i: placements[i][0])
         M = N - idx_injection
         with timer.phase("lpips_insert"):
             for i in order:
                 fract_mixing = placements[i][0]
                 list_latents = [None] * idx_injection + [traj[j, i : i + 1] for j in range(M)]
-                self.insert_into_tree(fract_mixing, idx_injection, list_latents, img_insert=imgs[i])
+                b_parent1, _ = get_closest_idx(fract_mixing, self.tree_fracts)
+                idx_insert = b_parent1 + 1
+                self.tree_latents.insert(idx_insert, list_latents)
+                self.tree_final_imgs.insert(idx_insert, imgs_u8[i])
+                self._imgs_dev.insert(idx_insert, imgs_pm1[i])
+                self.tree_fracts.insert(idx_insert, fract_mixing)
+                self.tree_idx_injection.insert(idx_insert, idx_injection)
+            self.tree_similarities = self._batched_similarities()
 
     def insert_into_tree(self, fract_mixing, idx_injection, list_latents, img_insert=None):
         """Sorted insert + incremental similarity update (reference
-        blending_engine.py:564-588)."""
+        blending_engine.py:564-588). Reference-compatible single-branch API;
+        the batched round path in _run_stem_round bypasses this."""
         if img_insert is None:
             img_insert = self.dh.latent2image(list_latents[-1])
         b_parent1, b_parent2 = get_closest_idx(fract_mixing, self.tree_fracts)
@@ -431,6 +446,8 @@ class BlendingEngine:
         idx_insert = b_parent1 + 1
         self.tree_latents.insert(idx_insert, list_latents)
         self.tree_final_imgs.insert(idx_insert, img_insert)
+        if len(self._imgs_dev) >= idx_insert:
+            self._imgs_dev.insert(idx_insert, self.lpips._prep(img_insert)[0])
         self.tree_fracts.insert(idx_insert, fract_mixing)
         self.tree_idx_injection.insert(idx_insert, idx_injection)
         self.tree_similarities[b_parent1] = left_sim
@@ -519,10 +536,24 @@ class BlendingEngine:
         yml_save(os.path.join(dp_img, "lowres.yaml"), self.get_state_dict())
 
     def write_movie_transition(self, fp_movie: str, duration_transition: float, fps: int = 30):
-        from latentblending_tpu.video.frames import add_frames_linear_interp
+        import os
+
+        from latentblending_tpu.video.frames import (
+            add_frames_linear_interp_device,
+            stream_frames_linear_interp,
+        )
         from latentblending_tpu.video.writer import MovieSaver
 
-        imgs = add_frames_linear_interp(self.tree_final_imgs, fps, duration_transition)
+        target = int(round(fps * duration_transition))
+        # Default: streaming host fill-up (native SIMD kernel, one reused
+        # buffer — no bulk allocation, only K keyframes cross the
+        # device↔host link). LB_DEVICE_FILLUP=1 moves the lerp onto the
+        # accelerator instead — the right trade when the link is fast
+        # (real TPU-VM PCIe) and the host is weak.
+        if os.environ.get("LB_DEVICE_FILLUP") == "1":
+            imgs = add_frames_linear_interp_device(self.tree_final_imgs, target)
+        else:
+            imgs = stream_frames_linear_interp(self.tree_final_imgs, target)
         ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
         for img in imgs:
             ms.write_frame(img)
@@ -558,13 +589,24 @@ class BlendingEngine:
         self.prompt1 = self.prompt2
         self.text_embedding1 = self.text_embedding2
         self.tree_final_imgs = []
+        self._imgs_dev = []
 
     # ------------------------------------------------------------- similarity
 
     def get_lpips_similarity(self, imgA, imgB) -> float:
         return self.lpips.distance(imgA, imgB)
 
+    def _batched_similarities(self) -> list[float]:
+        """All adjacent-keyframe LPIPS distances in one device call."""
+        if len(self._imgs_dev) < 2:
+            return []
+        a = jnp.stack(self._imgs_dev[:-1])
+        b = jnp.stack(self._imgs_dev[1:])
+        return [float(x) for x in self.lpips.distance_batch(a, b)]
+
     def get_tree_similarities(self) -> list[float]:
+        if len(self._imgs_dev) == len(self.tree_final_imgs) and len(self._imgs_dev) >= 2:
+            return self._batched_similarities()
         if len(self.tree_final_imgs) < 2:
             return []
         a = jnp.stack([self.lpips._prep(im)[0] for im in self.tree_final_imgs[:-1]])

@@ -91,14 +91,18 @@ class SDXLHolder:
         tokenizer1=None,
         tokenizer2=None,
         dtype=jnp.bfloat16,
-        vae_dtype=jnp.float32,
+        vae_dtype=None,
         mesh=None,
     ):
         """params: {'unet':…, 'vae':…, 'clip1':…, 'clip2':…} flax param trees.
 
-        vae_dtype: float32 honors the reference's force_upcast rule
-        (dh:129-139, an fp16-overflow workaround). bfloat16 is safe on TPU
-        (f32 exponent range) and ~2× faster — opt in per deployment."""
+        vae_dtype: the reference force-upcasts the VAE to f32 because fp16
+        OVERFLOWS there (dh:129-139). bfloat16 shares float32's exponent
+        range, so the overflow rationale doesn't apply on TPU — default is
+        bf16 compute on TPU (HBM-bandwidth-bound decode runs ~2× faster),
+        f32 elsewhere. Pass jnp.float32 to force the reference behavior."""
+        if vae_dtype is None:
+            vae_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
         self.dtype = dtype
         self.is_sdxl_turbo = self.spec.is_sdxl_turbo
@@ -294,8 +298,10 @@ class SDXLHolder:
             return Image.fromarray(img)
         return img
 
-    def latents2images_batched(self, latents: jax.Array) -> list[np.ndarray]:
-        """[B,h,w,4] → list of uint8 images via chunked batched decodes."""
+    def decode_to_pm1_batched(self, latents: jax.Array) -> jax.Array:
+        """[B,h,w,4] → [B,H,W,3] float images in [-1,1], on device (feeds
+        LPIPS without a host round-trip). Chunked so full-res decoder
+        activations stay bounded."""
         outs = []
         B = latents.shape[0]
         c = max(1, self.decode_chunk)
@@ -308,15 +314,18 @@ class SDXLHolder:
                 img = self._decode_jit(self.params["vae"], chunk)[: -pad or None]
             else:
                 img = self._decode_jit(self.params["vae"], chunk)
-            arr = np.asarray(jnp.clip(img / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
-            outs.extend(arr[j] for j in range(arr.shape[0]))
-        return outs
+            outs.append(jnp.clip(img, -1.0, 1.0))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def decode_to_pm1_batched(self, latents: jax.Array) -> jax.Array:
-        """[B,h,w,4] → [B,H,W,3] float images in [-1,1], stays on device
-        (feeds LPIPS without a host round-trip)."""
-        img = self._decode_jit(self.params["vae"], latents)
-        return jnp.clip(img, -1.0, 1.0)
+    @staticmethod
+    def pm1_to_uint8(imgs_pm1: jax.Array) -> np.ndarray:
+        """[-1,1] device images → host uint8 [B,H,W,3] (one transfer)."""
+        return np.asarray(jnp.clip(imgs_pm1 / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+
+    def latents2images_batched(self, latents: jax.Array) -> list[np.ndarray]:
+        """[B,h,w,4] → list of uint8 images via chunked batched decodes."""
+        arr = self.pm1_to_uint8(self.decode_to_pm1_batched(latents))
+        return [arr[i] for i in range(arr.shape[0])]
 
     # -------------------------------------------------------- denoise paths
 

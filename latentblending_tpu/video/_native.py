@@ -38,6 +38,19 @@ def _u8p(x: np.ndarray):
     return x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+_one = np.zeros(1, np.float32)
+
+
+def lerp_into(a: np.ndarray, b: np.ndarray, fract: float, out: np.ndarray) -> np.ndarray:
+    """Single-frame lerp into a caller-owned buffer (zero allocation)."""
+    _one[0] = fract
+    _lib.lerp_frames_multi_u8(
+        _u8p(a), _u8p(b), _u8p(out), ctypes.c_int64(a.size),
+        _one.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ctypes.c_int64(1),
+    )
+    return out
+
+
 def lerp_frames_u8(imgs: list[np.ndarray], counts: np.ndarray) -> list[np.ndarray]:
     """Expand keyframes with counts[i] interpolated frames per gap.
 

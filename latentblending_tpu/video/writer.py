@@ -30,6 +30,7 @@ class MovieSaver:
         self.nmb_frames = 0
         self._writer = None
         self._proc = None
+        self._bgr = None  # reused conversion buffer (page-fault avoidance)
         if os.path.isfile(fp_movie):
             os.remove(fp_movie)
         d = os.path.dirname(fp_movie)
@@ -70,7 +71,10 @@ class MovieSaver:
         else:
             import cv2
 
-            self._writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            if self._bgr is None or self._bgr.shape != img.shape:
+                self._bgr = np.empty_like(img)
+            cv2.cvtColor(img, cv2.COLOR_RGB2BGR, dst=self._bgr)
+            self._writer.write(self._bgr)
         self.nmb_frames += 1
 
     def finalize(self):

@@ -23,14 +23,15 @@ void lerp_frames_multi_u8(const uint8_t* __restrict a,
                           const float* __restrict fracts,
                           int64_t n) {
   for (int64_t k = 0; k < n; ++k) {
-    // 15-bit fixed point: f in [0,1] → w in [0, 32768]
-    const int32_t w = static_cast<int32_t>(fracts[k] * 32768.0f + 0.5f);
-    const int32_t wi = 32768 - w;
-    uint8_t* o = out + k * size;
+    // 8-bit fixed point (w in [0,256]) keeps the product in uint16 so the
+    // loop vectorizes to 16-lane pmullw; max rounding error is 1 LSB.
+    const uint16_t w = static_cast<uint16_t>(fracts[k] * 256.0f + 0.5f);
+    const uint16_t wi = 256 - w;
+    uint8_t* __restrict o = out + k * size;
     for (int64_t i = 0; i < size; ++i) {
-      const int32_t va = a[i];
-      const int32_t vb = b[i];
-      o[i] = static_cast<uint8_t>((va * wi + vb * w + 16384) >> 15);
+      const uint16_t va = a[i];
+      const uint16_t vb = b[i];
+      o[i] = static_cast<uint8_t>((va * wi + vb * w + 128) >> 8);
     }
   }
 }

@@ -66,3 +66,33 @@ def test_concatenate(tmp_path):
         ms.finalize()
     concatenate_movies(fpc, [fp1, fp2])
     assert len(read_movie_frames(fpc)) == 12
+
+
+def test_native_matches_numpy_lerp():
+    pytest.importorskip("latentblending_tpu.video._native")
+    from latentblending_tpu.video import _native
+    from latentblending_tpu.video import frames as F
+
+    imgs = _imgs(5, 64, 64, seed=7)
+    native = F.add_frames_linear_interp(imgs, nmb_frames_target=40)
+    saved = F._native_lerp
+    try:
+        F._native_lerp = None
+        ref = F.add_frames_linear_interp(imgs, nmb_frames_target=40)
+    finally:
+        F._native_lerp = saved
+    assert len(native) == len(ref) == 40
+    for a, b in zip(native, ref):
+        # u16 fixed-point kernel vs f32 lerp: ≤1 LSB
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_device_fillup_matches_host():
+    from latentblending_tpu.video import frames as F
+
+    imgs = _imgs(4, 32, 32, seed=9)
+    dev = F.add_frames_linear_interp_device(imgs, 30, chunk=8)
+    host = F.add_frames_linear_interp(imgs, nmb_frames_target=30)
+    assert len(dev) == len(host) == 30
+    for a, b in zip(dev, host):
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1

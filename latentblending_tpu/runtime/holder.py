@@ -115,7 +115,7 @@ class SDXLHolder:
         self.params = params
         # HBM plan (v5e 16GB): batched VAE decodes run in chunks so the
         # full-res decoder activations (512·512·128ch · B) stay bounded.
-        self.decode_chunk = 4
+        self.decode_chunk = 8 if vae_dtype == jnp.bfloat16 else 4
 
         v = self.spec.clip1.vocab_size
         self.tokenizer1 = tokenizer1 or HashTokenizer(

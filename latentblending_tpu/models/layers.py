@@ -142,6 +142,19 @@ class TimestepEmbedMLP(nn.Module):
         return x
 
 
+def _use_flash_attention(lq: int, lk: int, mask) -> bool:
+    """Pallas flash attention for big self-attention maps on TPU.
+
+    XLA's plain path materializes [B,H,L,L] logits — 13GB at L=4096 with a
+    20-wide CFG-folded stem batch (SDXL-base 1024²). The flash kernel keeps
+    memory O(L·block). Cross-attention (lk=77) stays on the XLA path."""
+    import os
+
+    if os.environ.get("LB_FLASH") == "0":
+        return False
+    return jax.default_backend() == "tpu" and mask is None and lq == lk and lq >= 1024 and lq % 512 == 0
+
+
 class Attention(nn.Module):
     """Multi-head attention with separate q/k/v projections.
 
@@ -168,10 +181,21 @@ class Attention(nn.Module):
         q = q.reshape(b, lq, self.heads, self.dim_head)
         k = k.reshape(b, lk, self.heads, self.dim_head)
         v = v.reshape(b, lk, self.heads, self.dim_head)
-        bias = None
-        if mask is not None:
-            bias = mask.astype(q.dtype)
-        out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        if _use_flash_attention(lq, lk, mask):
+            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                causal=False,
+                sm_scale=float(1.0 / (self.dim_head**0.5)),
+            ).transpose(0, 2, 1, 3)
+        else:
+            bias = None
+            if mask is not None:
+                bias = mask.astype(q.dtype)
+            out = jax.nn.dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(b, lq, inner)
         return dense(self.query_dim, self.dtype, self.param_dtype, "to_out_0")(out)
 

@@ -174,6 +174,34 @@ class BlendingEngine:
     def set_image2(self, image):
         self.image2_lowres = image
 
+    def compute_latents_from_image(self, image, seed: int) -> list:
+        """Keyframe trajectory from a real image: VAE-encode to x0, then
+        synthesize the diffusion states x_i = x0 + σ_{i+1}·ε with one fixed
+        unit-noise draw (the forward-noising states an ideal denoiser would
+        traverse). Capability extension — the reference stores images but
+        never uses them (blending_engine.py:231-245)."""
+        x0 = self.dh.image2latent(image)
+        key = jax.random.PRNGKey(int(seed))
+        eps = jax.random.normal(key, x0.shape, jnp.float32).astype(x0.dtype)
+        sig = self.dh.schedule.sigmas
+        return [x0 + float(sig[i + 1]) * eps for i in range(self.num_inference_steps)]
+
+    def set_keyframe1_image(self, image, seed: int | None = None):
+        """Pin the FIRST keyframe to a real image; run with
+        run_transition(recycle_img1=True)."""
+        self.set_image1(image)
+        self.tree_latents[0] = self.compute_latents_from_image(image, seed if seed is not None else self.seed1)
+
+    def set_keyframe2_image(self, image, seed: int | None = None):
+        """Pin the SECOND keyframe to a real image; run with
+        run_transition(recycle_img2=True)."""
+        self.set_image2(image)
+        traj = self.compute_latents_from_image(image, seed if seed is not None else self.seed2)
+        if self.tree_latents[-1] is None or len(self.tree_latents) < 2:
+            self.tree_latents = [self.tree_latents[0], traj]
+        else:
+            self.tree_latents[-1] = traj
+
     def set_num_inference_steps(self, num_inference_steps: Optional[int] = None):
         if num_inference_steps is None:
             num_inference_steps = 4 if self.dh.is_sdxl_turbo else 30

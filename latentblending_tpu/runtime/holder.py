@@ -327,6 +327,26 @@ class SDXLHolder:
         arr = self.pm1_to_uint8(self.decode_to_pm1_batched(latents))
         return [arr[i] for i in range(arr.shape[0])]
 
+    # --------------------------------------------------------- encode path
+
+    def image2latent(self, image) -> jax.Array:
+        """uint8/PIL image → scaled latent [1,h,w,4] (posterior mean).
+
+        Extension beyond the reference (no encoder use there); enables real
+        image keyframes (engine.set_keyframe1_image)."""
+        img = np.asarray(image)
+        if img.shape[:2] != (self.height_img, self.width_img):
+            import cv2
+
+            img = cv2.resize(img, (self.width_img, self.height_img), interpolation=cv2.INTER_AREA)
+        x = jnp.asarray(img, jnp.float32)[None] / 255.0 * 2.0 - 1.0
+        if not hasattr(self, "_encode_img_jit"):
+            self._encode_img_jit = jax.jit(
+                lambda p, im: self.vae.apply({"params": p}, im, method=VAE.encode)[0]
+            )
+        mean = self._encode_img_jit(self.params["vae"], x)
+        return (mean * self.spec.vae.scaling_factor).astype(self.dtype)
+
     # -------------------------------------------------------- denoise paths
 
     def _conditioning(self, text_embeddings, batch: int) -> Conditioning:

@@ -1,0 +1,60 @@
+"""Image keyframes: encode → synthetic forward-noised trajectory → usable
+as a recycled tree edge."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentblending_tpu.engine.blending import BlendingEngine
+from latentblending_tpu.runtime.holder import SDXLHolder
+
+
+@pytest.fixture(scope="module")
+def engine():
+    dh = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32)
+    be = BlendingEngine(dh, run_benchmark=False)
+    be.set_prompt1("a")
+    be.set_prompt2("b")
+    be.set_branching(nmb_max_branches=2)
+    return be
+
+
+def _img(seed=0):
+    return np.random.default_rng(seed).integers(0, 255, (128, 128, 3)).astype(np.uint8)
+
+
+def test_image2latent_shape(engine):
+    lat = engine.dh.image2latent(_img())
+    assert lat.shape == (1, 16, 16, 4)
+
+
+def test_image2latent_resizes(engine):
+    lat = engine.dh.image2latent(np.zeros((37, 91, 3), np.uint8))
+    assert lat.shape == (1, 16, 16, 4)
+
+
+def test_synthetic_trajectory_structure(engine):
+    traj = engine.compute_latents_from_image(_img(1), seed=7)
+    N = engine.num_inference_steps
+    assert len(traj) == N
+    sig = engine.dh.schedule.sigmas
+    x0 = engine.dh.image2latent(_img(1))
+    # final entry is exactly the encoded latent (σ_N = 0)
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(x0), atol=1e-6)
+    # noise magnitude decreases along the trajectory
+    devs = [float(jnp.std(traj[i] - x0)) for i in range(N)]
+    assert all(devs[i] > devs[i + 1] for i in range(N - 1))
+    # deterministic per seed
+    traj2 = engine.compute_latents_from_image(_img(1), seed=7)
+    np.testing.assert_array_equal(np.asarray(traj[0]), np.asarray(traj2[0]))
+
+
+@pytest.mark.slow
+def test_transition_from_image_keyframe(engine):
+    engine.set_keyframe1_image(_img(2), seed=5)
+    imgs = engine.run_transition(recycle_img1=True, fixed_seeds=[5, 6])
+    assert len(imgs) == 4  # 2 edges + 2 stems
+    # first keyframe decodes the pinned image's latent (not recomputed)
+    x0 = engine.dh.image2latent(_img(2))
+    np.testing.assert_allclose(
+        np.asarray(engine.tree_latents[0][-1], np.float32), np.asarray(x0, np.float32), atol=1e-6
+    )

@@ -17,10 +17,13 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lb_jax_cache")
-
 import jax
 import jax.numpy as jnp
+
+# sitecustomize pre-imports jax, so env-var config is too late — set the
+# persistent compilation cache through the config API.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lb_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from latentblending_tpu.engine.blending import BlendingEngine
 from latentblending_tpu.runtime.holder import SDXLHolder

@@ -262,15 +262,15 @@ class BlendingEngine:
         ok1 = recycle_img1 and self.tree_latents[0] is not None and len(self.tree_latents[0]) == self.num_inference_steps
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps
 
-        if ok1 and not ok2 or not ok1 and ok2 or (not ok1 and not ok2 and self.branch1_crossfeed_power > 0):
-            # sequential path (crossfeed ties branch2 to branch1)
+        if ok1 and ok2:
+            list_latents1, list_latents2 = self.tree_latents[0], self.tree_latents[-1]
+        elif not ok1 and not ok2 and self.branch1_crossfeed_power == 0.0:
+            # both fresh and independent → one batch of 2 trajectories
+            list_latents1, list_latents2 = self._compute_edge_latents_batched()
+        else:
+            # sequential path (recycled edge, or crossfeed ties branch 2 to 1)
             list_latents1 = self.tree_latents[0] if ok1 else self.compute_latents1()
             list_latents2 = self.tree_latents[-1] if ok2 else self.compute_latents2()
-        elif ok1 and ok2:
-            list_latents1, list_latents2 = self.tree_latents[0], self.tree_latents[-1]
-        else:
-            # both fresh, no crossfeed → one batch of 2 trajectories
-            list_latents1, list_latents2 = self._compute_edge_latents_batched()
 
         self.tree_latents = [list_latents1, list_latents2]
         self.tree_fracts = [0.0, 1.0]

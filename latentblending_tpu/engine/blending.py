@@ -205,10 +205,17 @@ class BlendingEngine:
     def set_num_inference_steps(self, num_inference_steps: Optional[int] = None):
         if num_inference_steps is None:
             num_inference_steps = 4 if self.dh.is_sdxl_turbo else 30
+        changed = getattr(self, "num_inference_steps", None) != int(num_inference_steps)
         self.num_inference_steps = int(num_inference_steps)
         self.dh.set_num_inference_steps(self.num_inference_steps)
+        # a branching plan is a function of the step count: re-derive it
+        # with the remembered arguments (injection depths planned for the
+        # old N would over/under-run the new schedule)
+        if changed and getattr(self, "_branching_args", None) is not None:
+            self.set_branching(*self._branching_args)
 
     def set_branching(self, depth_strength=None, t_compute_max_allowed=None, nmb_max_branches=None):
+        self._branching_args = (depth_strength, t_compute_max_allowed, nmb_max_branches)
         if self.dh.is_sdxl_turbo:
             assert t_compute_max_allowed is None, "time-based branching not supported for SDXL Turbo"
             self.list_idx_injection, self.list_nmb_stems = turbo_branching_plan(
@@ -313,7 +320,10 @@ class BlendingEngine:
         latents_start = self.get_noise(self.seed1)
         list_latents1 = self.run_diffusion(cond, latents_start=latents_start, idx_start=0)
         jax.block_until_ready(list_latents1[-1])
-        self.dt_unet_step = (time.time() - t0) / self.num_inference_steps
+        if self.dh.last_run_was_warm:
+            # only a compiled run is a valid per-step estimate for the
+            # budget planner (compile time would inflate it ~100-1000×)
+            self.dt_unet_step = (time.time() - t0) / self.num_inference_steps
         self.tree_latents[0] = list_latents1
         if return_image:
             return self.dh.latent2image(list_latents1[-1])
@@ -355,7 +365,8 @@ class BlendingEngine:
         t0 = time.time()
         traj = self.dh.run_diffusion_batched(cond, lat0, idx_start=0, guidance_scale=g)
         jax.block_until_ready(traj)
-        self.dt_unet_step = (time.time() - t0) / (2 * self.num_inference_steps)
+        if self.dh.last_run_was_warm:
+            self.dt_unet_step = (time.time() - t0) / (2 * self.num_inference_steps)
         N = self.num_inference_steps
         list1 = [traj[i, 0:1] for i in range(N)]
         list2 = [traj[i, 1:2] for i in range(N)]
@@ -384,6 +395,10 @@ class BlendingEngine:
     def _find_parents(self, fract_mixing: float, idx_injection: int) -> tuple[int, int]:
         """Nearest tree entries that are strictly shallower than the new
         branch (reference blending_engine.py:549-562)."""
+        assert idx_injection >= 1, (
+            "idx_injection must be >= 1 (depth 0 has no parental state); "
+            "branch planners clamp this"
+        )
         b_parent1, b_parent2 = get_closest_idx(fract_mixing, self.tree_fracts)
         while self.tree_idx_injection[b_parent1] >= idx_injection:
             b_parent1 -= 1
@@ -474,8 +489,11 @@ class BlendingEngine:
         idx_insert = b_parent1 + 1
         self.tree_latents.insert(idx_insert, list_latents)
         self.tree_final_imgs.insert(idx_insert, img_insert)
-        if len(self._imgs_dev) >= idx_insert:
+        if len(self._imgs_dev) == len(self.tree_final_imgs) - 1:
+            # only insert when the device list is index-aligned with the tree
             self._imgs_dev.insert(idx_insert, self.lpips._prep(img_insert)[0])
+        else:
+            self._imgs_dev = []  # misaligned → drop; get_tree_similarities falls back
         self.tree_fracts.insert(idx_insert, fract_mixing)
         self.tree_idx_injection.insert(idx_insert, idx_injection)
         self.tree_similarities[b_parent1] = left_sim

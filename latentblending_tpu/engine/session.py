@@ -98,8 +98,11 @@ def run_multi_transition(
     list_parts = []
     for i in range(len(kfs) - 1):
         if i == 0:
-            be.set_prompt1(kfs[i].prompt)
+            # negative prompt FIRST: embeddings bake it in at encode time
+            # (the reference UI gets this wrong, gradio_ui.py:238-239 —
+            # its first keyframe silently ignores the negative prompt)
             be.set_negative_prompt(kfs[i].negative_prompt)
+            be.set_prompt1(kfs[i].prompt)
             be.set_prompt2(kfs[i + 1].prompt)
             recycle_img1 = False
         else:

@@ -67,5 +67,8 @@ def load_tree(be, fp_npz: str) -> dict:
     be.tree_idx_injection = [int(i) for i in data["idx_injection"]]
     be.tree_similarities = [float(s) for s in data["similarities"]]
     be.tree_final_imgs = [data["imgs"][i] for i in range(data["imgs"].shape[0])]
+    # rebuild the device-resident LPIPS images so the batched policy path
+    # stays index-aligned with the restored tree
+    be._imgs_dev = [be.lpips._prep(im)[0] for im in be.tree_final_imgs]
     be.seed1, be.seed2 = meta["seed1"], meta["seed2"]
     return meta

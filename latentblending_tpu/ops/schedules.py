@@ -58,9 +58,12 @@ def turbo_branching_plan(
 ) -> tuple[list[int], list[int]]:
     """SDXL-Turbo branching: one injection level.
 
-    Reference: blending_engine.py:273-283.
+    Reference: blending_engine.py:273-283. Injection depth is clamped to
+    [1, num_steps-1]: depth 0 has no parental state to start from (the
+    reference crashes there too — negative indexing in get_mixing_parameters).
     """
     idx_inject = int(round(num_steps * depth_strength)) if depth_strength is not None else 2
+    idx_inject = int(np.clip(idx_inject, 1, num_steps - 1))
     if nmb_max_branches is None:
         nmb_max_branches = 10
     return [idx_inject], [nmb_max_branches]
@@ -81,7 +84,7 @@ def time_based_branching_plan(
       t = Σ(steps/branch)·dt_unet_step + n_branches·dt_vae
           + 2·(N·dt_unet_step + dt_vae)
     """
-    idx_injection_base = int(np.floor(num_steps * depth_strength))
+    idx_injection_base = max(1, int(np.floor(num_steps * depth_strength)))
     steps = int(np.ceil(num_steps / 10))
     list_idx_injection = np.arange(idx_injection_base, num_steps, steps)
     list_nmb_stems = np.ones(len(list_idx_injection), dtype=np.int32)
@@ -146,14 +149,13 @@ def get_closest_idx(fract_mixing: float, tree_fracts: list[float]) -> tuple[int,
     return b_parent1, b_parent2
 
 
-def frame_insert_counts(nmb_keyframes: int, nmb_frames_target: int, rng: np.random.Generator | None = None) -> np.ndarray:
+def frame_insert_counts(nmb_keyframes: int, nmb_frames_target: int) -> np.ndarray:
     """How many interpolated frames to insert into each of the K-1 gaps so the
     total frame count is exactly nmb_frames_target.
 
     Deterministic re-derivation of reference utils.py:148-165, which used
     rejection sampling over random masks; we place the remainder frames with
-    an even stride (plus optional seeded shuffle) so the count is exact by
-    construction and reproducible.
+    an even stride so the count is exact by construction and reproducible.
     """
     nmb_gaps = nmb_keyframes - 1
     nmb_missing = nmb_frames_target - nmb_keyframes

@@ -149,9 +149,14 @@ class DenoiseRunner:
     cached (SURVEY.md §7 hard part c — bounded variant set: one per level).
     """
 
-    def __init__(self, unet_apply: Callable, donate_latents: bool = False):
+    def __init__(self, unet_apply: Callable):
         self._unet_apply = unet_apply
         self._cache: dict[DenoisePlan, Callable] = {}
+        self._executed: set[DenoisePlan] = set()
+
+    def is_warm(self, plan: DenoisePlan) -> bool:
+        """True if this plan has already executed (i.e. is compiled)."""
+        return plan in self._executed
 
     def get(self, plan: DenoisePlan) -> Callable:
         fn = self._cache.get(plan)
@@ -176,6 +181,7 @@ class DenoiseRunner:
 
     def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale):
         fn = self.get(plan)
+        self._executed.add(plan)
         return fn(
             params,
             latents_start,

@@ -116,6 +116,7 @@ class SDXLHolder:
         # HBM plan (v5e 16GB): batched VAE decodes run in chunks so the
         # full-res decoder activations (512·512·128ch · B) stay bounded.
         self.decode_chunk = 8 if vae_dtype == jnp.bfloat16 else 4
+        self.last_run_was_warm = False
 
         v = self.spec.clip1.vocab_size
         self.tokenizer1 = tokenizer1 or HashTokenizer(
@@ -301,19 +302,24 @@ class SDXLHolder:
     def decode_to_pm1_batched(self, latents: jax.Array) -> jax.Array:
         """[B,h,w,4] → [B,H,W,3] float images in [-1,1], on device (feeds
         LPIPS without a host round-trip). Chunked so full-res decoder
-        activations stay bounded."""
+        activations stay bounded; every chunk is padded up to a power-of-two
+        bucket so the compiled-variant count is bounded (≤ log2(chunk)+1)
+        instead of one per distinct batch size."""
         outs = []
         B = latents.shape[0]
         c = max(1, self.decode_chunk)
         for i in range(0, B, c):
             chunk = latents[i : i + c]
-            if chunk.shape[0] != c and B > c:
-                # pad to the chunk size to avoid an extra compiled variant
-                pad = c - chunk.shape[0]
-                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)], axis=0)
-                img = self._decode_jit(self.params["vae"], chunk)[: -pad or None]
-            else:
-                img = self._decode_jit(self.params["vae"], chunk)
+            n = chunk.shape[0]
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            pad = bucket - n
+            if pad:
+                chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0)
+            img = self._decode_jit(self.params["vae"], chunk)
+            if pad:
+                img = img[:n]
             outs.append(jnp.clip(img, -1.0, 1.0))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
@@ -379,8 +385,24 @@ class SDXLHolder:
             guidance_scale = jnp.full((B,), self.guidance_scale, jnp.float32)
         plan = DenoisePlan(num_steps=N, idx_start=idx_start, batch=B, use_cfg=use_cfg)
         mw, mc = build_mix_inputs(N, idx_start, mix_traj, mixing_coeffs, latents_start)
+        # warm-plan marker: timing callers must not fold compile time into
+        # the per-step estimate that feeds the budget planner
+        self.last_run_was_warm = self.runner.is_warm(plan)
+        latents_start = latents_start.astype(self.dtype)
+        if self.mesh is not None and B % self.mesh.shape["data"] == 0:
+            # stem batch over the 'data' axis; params replicated once
+            from latentblending_tpu.parallel.mesh import replicate_params, shard_stem_batch
+
+            if not getattr(self, "_params_placed", False):
+                self.params["unet"] = replicate_params(self.params["unet"], self.mesh)
+                self._params_placed = True
+            latents_start = shard_stem_batch(latents_start, self.mesh)
+            cond = shard_stem_batch(cond, self.mesh)
+            mw = jax.device_put(
+                mw, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
+            )
         return self.runner.run(
-            plan, self.params["unet"], latents_start.astype(self.dtype), cond, mw, mc, self.schedule, guidance_scale
+            plan, self.params["unet"], latents_start, cond, mw, mc, self.schedule, guidance_scale
         )
 
     def run_diffusion(

@@ -39,6 +39,9 @@ class MovieSaver:
 
     def _open(self, h: int, w: int):
         self.shape_hw = (h, w)
+        if h % 2 or w % 2:
+            # yuv420p (and most players) require even dimensions
+            raise ValueError(f"movie dimensions must be even, got {w}x{h}")
         if _has_ffmpeg():
             self._proc = subprocess.Popen(
                 [
@@ -67,7 +70,11 @@ class MovieSaver:
         if self.shape_hw is not None and img.shape[:2] != tuple(self.shape_hw):
             raise ValueError(f"frame shape {img.shape[:2]} != movie shape {self.shape_hw}")
         if self._proc is not None:
-            self._proc.stdin.write(img.tobytes())
+            try:
+                self._proc.stdin.write(img.tobytes())
+            except BrokenPipeError as e:
+                rc = self._proc.poll()
+                raise RuntimeError(f"ffmpeg died (exit {rc}) while writing {self.fp_movie}") from e
         else:
             import cv2
 
@@ -80,11 +87,15 @@ class MovieSaver:
     def finalize(self):
         if self._proc is not None:
             self._proc.stdin.close()
-            self._proc.wait()
+            rc = self._proc.wait()
             self._proc = None
+            if rc != 0:
+                raise RuntimeError(f"ffmpeg exited with code {rc} for {self.fp_movie}")
         elif self._writer is not None:
             self._writer.release()
             self._writer = None
+        if self.nmb_frames > 0 and not (os.path.isfile(self.fp_movie) and os.path.getsize(self.fp_movie) > 0):
+            raise RuntimeError(f"movie file {self.fp_movie} was not written")
 
 
 def read_movie_frames(fp_movie: str) -> list[np.ndarray]:

@@ -56,3 +56,25 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_holder_mesh_sharded_run():
+    """SDXLHolder(mesh=...) shards the stem batch over 'data' and matches
+    the unsharded run."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    mesh = make_mesh()
+    dh0 = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32)
+    dh1 = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32, mesh=mesh)
+    te = dh0.get_text_embedding("test")
+    lat = jnp.concatenate([dh0.get_noise(i) for i in range(8)], axis=0)
+    cond0 = dh0._conditioning(te, 8)
+    cond1 = dh1._conditioning(te, 8)
+    with mesh:
+        traj1 = dh1.run_diffusion_batched(cond1, lat)
+    traj0 = dh0.run_diffusion_batched(cond0, lat)
+    np.testing.assert_allclose(
+        np.asarray(traj1[-1], np.float32), np.asarray(traj0[-1], np.float32), rtol=5e-4, atol=5e-4
+    )

@@ -1,0 +1,91 @@
+"""App-layer tests: MultiUserRouter/UserSession logic without the gradio
+dependency (the UI wiring itself needs gradio; the session/router logic —
+the part the reference races on, gradio_ui.py:40-53 — is plain Python)."""
+import sys
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def router(tmp_path_factory):
+    sys.path.insert(0, "apps")
+    import gradio_ui as G
+
+    from latentblending_tpu.engine.blending import BlendingEngine
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    dh = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32)
+    be = BlendingEngine(dh, run_benchmark=False)
+    be.set_branching(nmb_max_branches=2)
+    return G.MultiUserRouter({"tiny-turbo": be}, nmb_preview_images=2)
+
+
+def _select(idx):
+    return types.SimpleNamespace(index=idx)
+
+
+def test_register_and_isolated_sessions(router):
+    u1 = router.register_new_user("tiny-turbo", 128, 128)
+    u2 = router.register_new_user("tiny-turbo", 128, 128)
+    assert u1 != u2
+    assert router.sessions[u1] is not router.sessions[u2]
+
+
+def test_compute_previews_and_add(router, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    u = router.register_new_user("tiny-turbo", 128, 128)
+    previews = router.compute_imgs(u, "a forest", "ugly")
+    assert len(previews) == 2
+    router.preview_img_selected(u, _select(0), None)
+    movie = router.add_image_to_video(u)
+    assert len(movie) == 1
+    # session json written with the gradio-compatible schema
+    import json, os
+
+    s = router.sessions[u]
+    assert os.path.isfile(s.fp_json)
+    data = json.load(open(s.fp_json))
+    assert data[0]["settings"] == "sdxl"
+    assert data[1]["prompt"] == "a forest"
+
+
+def test_reorder_and_delete(router, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    u = router.register_new_user("tiny-turbo", 128, 128)
+    router.compute_imgs(u, "p1", "")
+    router.preview_img_selected(u, _select(0), None)
+    router.add_image_to_video(u)
+    router.compute_imgs(u, "p2", "")
+    router.preview_img_selected(u, _select(1), None)
+    router.add_image_to_video(u)
+    s = router.sessions[u]
+    assert [e["prompt"] for e in s.data] == ["p1", "p2"]
+    router.movie_img_selected(u, _select(0), None)
+    router.img_movie_later(u)
+    assert [e["prompt"] for e in s.data] == ["p2", "p1"]
+    router.movie_img_selected(u, _select(1), None)
+    router.img_movie_earlier(u)
+    assert [e["prompt"] for e in s.data] == ["p1", "p2"]
+    router.movie_img_selected(u, _select(0), None)
+    router.img_movie_delete(u)
+    assert [e["prompt"] for e in s.data] == ["p2"]
+
+
+@pytest.mark.slow
+def test_generate_movie(router, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    u = router.register_new_user("tiny-turbo", 128, 128)
+    for p in ("sunrise", "sunset"):
+        router.compute_imgs(u, p, "")
+        router.preview_img_selected(u, _select(0), None)
+        router.add_image_to_video(u)
+    fp = router.generate_movie(u, t_per_segment=1.0)
+    import cv2, os
+
+    assert os.path.isfile(fp)
+    cap = cv2.VideoCapture(fp)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 30
+    cap.release()

@@ -457,7 +457,11 @@ class BlendingEngine:
         # batched decode of the k final latents (kept on device for LPIPS)
         with timer.phase("vae_decode"):
             imgs_pm1 = self.dh.decode_to_pm1_batched(traj[-1])
-            imgs_u8 = self.dh.pm1_to_uint8(imgs_pm1)
+            u8_dev = self.dh.to_uint8_device(imgs_pm1)
+            try:
+                u8_dev.copy_to_host_async()  # overlap transfer with LPIPS
+            except Exception:
+                pass
 
         # insert in fract order; all gap similarities recomputed in ONE
         # batched LPIPS pass (identical values to the reference's
@@ -465,17 +469,23 @@ class BlendingEngine:
         order = sorted(range(k), key=lambda i: placements[i][0])
         M = N - idx_injection
         with timer.phase("lpips_insert"):
+            inserts = []
             for i in order:
                 fract_mixing = placements[i][0]
                 list_latents = [None] * idx_injection + [traj[j, i : i + 1] for j in range(M)]
                 b_parent1, _ = get_closest_idx(fract_mixing, self.tree_fracts)
                 idx_insert = b_parent1 + 1
                 self.tree_latents.insert(idx_insert, list_latents)
-                self.tree_final_imgs.insert(idx_insert, imgs_u8[i])
+                self.tree_final_imgs.insert(idx_insert, None)  # filled below
                 self._imgs_dev.insert(idx_insert, imgs_pm1[i])
                 self.tree_fracts.insert(idx_insert, fract_mixing)
                 self.tree_idx_injection.insert(idx_insert, idx_injection)
+                inserts.append((idx_insert, i))
+            # device LPIPS runs while the uint8 copy streams to the host
             self.tree_similarities = self._batched_similarities()
+            imgs_u8 = np.asarray(u8_dev)
+            for idx_insert, i in inserts:
+                self.tree_final_imgs[idx_insert] = imgs_u8[i]
 
     def insert_into_tree(self, fract_mixing, idx_injection, list_latents, img_insert=None):
         """Sorted insert + incremental similarity update (reference

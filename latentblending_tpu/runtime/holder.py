@@ -324,9 +324,15 @@ class SDXLHolder:
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     @staticmethod
+    def to_uint8_device(imgs_pm1: jax.Array) -> jax.Array:
+        """[-1,1] → uint8, still on device (lets callers overlap the host
+        copy with other device work via copy_to_host_async)."""
+        return (jnp.clip(imgs_pm1 / 2 + 0.5, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    @staticmethod
     def pm1_to_uint8(imgs_pm1: jax.Array) -> np.ndarray:
         """[-1,1] device images → host uint8 [B,H,W,3] (one transfer)."""
-        return np.asarray(jnp.clip(imgs_pm1 / 2 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+        return np.asarray(SDXLHolder.to_uint8_device(imgs_pm1))
 
     def latents2images_batched(self, latents: jax.Array) -> list[np.ndarray]:
         """[B,h,w,4] → list of uint8 images via chunked batched decodes."""

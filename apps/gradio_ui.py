@@ -135,6 +135,15 @@ class MultiUserRouter:
         s.idx_movie += 1
         return self.get_list_images_movie(user_id)
 
+    def write_json(self, user_id):
+        """Persist the user's movie project (reference gradio_ui.py:168-173)."""
+        s = self.sessions[user_id]
+        if not s.fp_json:
+            s.init_new_movie()
+        be, _ = self._engine_for(s)
+        s.to_project(be.num_inference_steps).save(s.fp_json)
+        return s.fp_json
+
     def img_movie_delete(self, user_id):
         s = self.sessions[user_id]
         if s.idx_img_movie_selected is not None and 0 <= s.idx_img_movie_selected < len(s.data):

@@ -225,6 +225,28 @@ class SDXLHolder:
 
     # ----------------------------------------------------------------- state
 
+    def init_types(self):
+        """Reference-compat (dh:38-48): the dtype probe and turbo detection
+        the reference performs at runtime are static properties of the
+        ModelSpec here — this just mirrors the attributes."""
+        return {"dtype": self.dtype, "is_sdxl_turbo": self.is_sdxl_turbo}
+
+    def prepare_mixing(self, mixing_coeffs, list_latents_mixing):
+        """Reference-compat (dh:146-156): normalize mixing_coeffs to a
+        per-step list and validate the mixing trajectory's length."""
+        if isinstance(mixing_coeffs, float):
+            list_mixing_coeffs = self.num_inference_steps * [mixing_coeffs]
+        elif isinstance(mixing_coeffs, (list, tuple, np.ndarray)):
+            assert len(mixing_coeffs) == self.num_inference_steps, (
+                f"len(mixing_coeffs) {len(mixing_coeffs)} != num_inference_steps {self.num_inference_steps}"
+            )
+            list_mixing_coeffs = list(mixing_coeffs)
+        else:
+            raise ValueError("mixing_coeffs should be float or list with len=num_inference_steps")
+        if np.sum(list_mixing_coeffs) > 0:
+            assert len(list_latents_mixing) == self.num_inference_steps
+        return list_mixing_coeffs
+
     def set_num_inference_steps(self, num_inference_steps: int):
         self.num_inference_steps = int(num_inference_steps)
         self.schedule = make_schedule(self.spec.scheduler, self.num_inference_steps)

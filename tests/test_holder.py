@@ -79,3 +79,19 @@ def test_batched_matches_single(holder):
 def test_benchmark_speed(holder):
     dt_unet, dt_vae = holder.benchmark_speed()
     assert dt_unet > 0 and dt_vae > 0
+
+
+def test_prepare_mixing_compat(holder):
+    # float → per-step list (reference dh:146-156)
+    out = holder.prepare_mixing(0.5, [None] * holder.num_inference_steps)
+    assert out == [0.5] * holder.num_inference_steps
+    # list validated for length
+    with pytest.raises(AssertionError):
+        holder.prepare_mixing([0.5, 0.5], None)
+    with pytest.raises(ValueError):
+        holder.prepare_mixing("bogus", None)
+
+
+def test_init_types_compat(holder):
+    info = holder.init_types()
+    assert info["is_sdxl_turbo"] is True

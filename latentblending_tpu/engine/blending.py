@@ -53,6 +53,20 @@ from latentblending_tpu.utils import get_logger
 log = get_logger(__name__)
 
 
+class _PendingImage:
+    """Placeholder in tree_final_imgs for a keyframe whose uint8 copy is
+    still streaming device→host (resolved at the end of run_transition)."""
+
+    __slots__ = ("batch", "row")
+
+    def __init__(self, batch, row: int):
+        self.batch = batch
+        self.row = row
+
+    def resolve(self) -> np.ndarray:
+        return np.asarray(self.batch)[self.row]
+
+
 class BlendingEngine:
     def __init__(
         self,
@@ -283,8 +297,12 @@ class BlendingEngine:
         self.tree_fracts = [0.0, 1.0]
         edge_finals = jnp.concatenate([list_latents1[-1], list_latents2[-1]], axis=0)
         edge_pm1 = self.dh.decode_to_pm1_batched(edge_finals)
-        edge_u8 = self.dh.pm1_to_uint8(edge_pm1)
-        self.tree_final_imgs = [edge_u8[0], edge_u8[1]]
+        edge_u8 = self.dh.to_uint8_device(edge_pm1)
+        try:
+            edge_u8.copy_to_host_async()
+        except Exception:
+            pass
+        self.tree_final_imgs = [_PendingImage(edge_u8, 0), _PendingImage(edge_u8, 1)]
         self._imgs_dev = [edge_pm1[0], edge_pm1[1]]
         self.tree_idx_injection = [0, 0]
         self.tree_similarities = self._batched_similarities()
@@ -304,6 +322,20 @@ class BlendingEngine:
                 {"idx_injection": int(idx_injection), "stems": int(nmb_stems), "wall_s": round(time.time() - t_lvl, 3)}
             )
 
+        # resolve the uint8 keyframes whose copies streamed behind compute
+        # (one host conversion per shared batch, not per keyframe)
+        batch_cache: dict[int, np.ndarray] = {}
+        resolved = []
+        for im in self.tree_final_imgs:
+            if isinstance(im, _PendingImage):
+                arr = batch_cache.get(id(im.batch))
+                if arr is None:
+                    arr = np.asarray(im.batch)
+                    batch_cache[id(im.batch)] = arr
+                resolved.append(arr[im.row])
+            else:
+                resolved.append(im)
+        self.tree_final_imgs = resolved
         self.last_report.num_keyframes = len(self.tree_final_imgs)
         self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
         self.last_report.phases = self.timer.summary()
@@ -469,23 +501,19 @@ class BlendingEngine:
         order = sorted(range(k), key=lambda i: placements[i][0])
         M = N - idx_injection
         with timer.phase("lpips_insert"):
-            inserts = []
             for i in order:
                 fract_mixing = placements[i][0]
                 list_latents = [None] * idx_injection + [traj[j, i : i + 1] for j in range(M)]
                 b_parent1, _ = get_closest_idx(fract_mixing, self.tree_fracts)
                 idx_insert = b_parent1 + 1
                 self.tree_latents.insert(idx_insert, list_latents)
-                self.tree_final_imgs.insert(idx_insert, None)  # filled below
+                # uint8 copy keeps streaming behind the remaining compute;
+                # resolved at the end of run_transition
+                self.tree_final_imgs.insert(idx_insert, _PendingImage(u8_dev, i))
                 self._imgs_dev.insert(idx_insert, imgs_pm1[i])
                 self.tree_fracts.insert(idx_insert, fract_mixing)
                 self.tree_idx_injection.insert(idx_insert, idx_injection)
-                inserts.append((idx_insert, i))
-            # device LPIPS runs while the uint8 copy streams to the host
             self.tree_similarities = self._batched_similarities()
-            imgs_u8 = np.asarray(u8_dev)
-            for idx_insert, i in inserts:
-                self.tree_final_imgs[idx_insert] = imgs_u8[i]
 
     def insert_into_tree(self, fract_mixing, idx_injection, list_latents, img_insert=None):
         """Sorted insert + incremental similarity update (reference

@@ -110,10 +110,14 @@ def load_lpips_torch_file(path: str) -> dict:
 
 
 class LPIPSScorer:
-    """Jitted convenience wrapper: uint8 numpy images → float distance."""
+    """Jitted convenience wrapper: uint8 numpy images → float distance.
 
-    def __init__(self, params=None, image_hw: tuple[int, int] | None = None, seed: int = 0):
-        self.model = LPIPS()
+    The backbone computes in float32: measured on TPU, a bf16 backbone gave
+    no end-to-end speedup (the LPIPS phase is transfer-bound, not
+    compute-bound), so full precision is kept for deterministic policy."""
+
+    def __init__(self, params=None, image_hw: tuple[int, int] | None = None, seed: int = 0, dtype=jnp.float32):
+        self.model = LPIPS(dtype=dtype)
         if params is None:
             h, w = image_hw or (64, 64)
             params = self.model.init(

@@ -23,6 +23,16 @@ def main():
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
+        # tiny mode is a CPU-friendly smoke path; force CPU so it never
+        # competes with a real-chip session (the JAX_PLATFORMS env var is
+        # pre-empted by sitecustomize in some environments — use the config
+        # API, which works as long as no backend is initialized yet)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
     else:
         dh = SDXLHolder.from_pretrained(args.snapshot)

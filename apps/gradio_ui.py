@@ -177,15 +177,18 @@ class MultiUserRouter:
 
 
 def build_engines(args) -> dict[str, BlendingEngine]:
+    from latentblending_tpu.parallel.mesh import auto_mesh
+
+    mesh = auto_mesh()  # shard stems over all visible chips (None single-chip)
     engines = {}
     if args.tiny or not args.snapshots:
         import jax.numpy as jnp
 
-        dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+        dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32, mesh=mesh)
         engines["tiny-turbo"] = BlendingEngine(dh)
     else:
         for snap in args.snapshots:
-            dh = SDXLHolder.from_pretrained(snap)
+            dh = SDXLHolder.from_pretrained(snap, mesh=mesh)
             engines[dh.spec.name] = BlendingEngine(dh)
     return engines
 

@@ -1,4 +1,4 @@
-"""Benchmark: SDXL-Turbo 512² latent-blending transition → 12 s movie.
+"""Benchmark: latent-blending transition → 12 s movie, end-to-end.
 
 Prints ONE JSON line:
   {"metric": ..., "value": frames/sec end-to-end, "unit": "frames/sec",
@@ -8,10 +8,22 @@ Baseline anchor (BASELINE.md): the reference claims transitions render
 "faster than they are typically played back" — i.e. real time is the bar.
 vs_baseline = (movie seconds) / (wall seconds): 1.0 == real time.
 
-Weights: random-initialized full SDXL-Turbo architecture (2.6B-param UNet,
-real VAE/CLIP towers). Throughput is weight-value independent, so the perf
-numbers are faithful; set LB_SNAPSHOT=/path/to/sdxl-turbo to bench with
-real weights. LB_BENCH_SPEC=tiny-turbo gives a fast smoke run.
+Configs (BASELINE.json):
+  default              SDXL-Turbo 512², 4 steps, 10 branches (config "turbo")
+  LB_BENCH_SPEC=sdxl-base   SDXL-base 1024², 30 steps, CFG 4.0, 20 s budget
+  LB_BENCH_SPEC=tiny-turbo  fast smoke run
+
+Weights: random-initialized full architecture (2.6B-param UNet, real
+VAE/CLIP towers). Throughput is weight-value independent, so the perf
+numbers are faithful; set LB_SNAPSHOT=/path/to/snapshot to bench real
+weights. NOTE (fidelity): with random weights the LPIPS metric uses the
+random-feature stand-in (models/lpips.py) — gap *ranking* drives branch
+placement as in the reference, but absolute LPIPS values are NOT
+comparable to the lpips package's.
+
+MFU: denoise-phase FLOPs come from XLA's cost_analysis on every compiled
+denoise executable (runtime/denoise.py DenoiseRunner.plan_flops);
+mfu = executed_flops / denoise_wall / peak_flops(device).
 """
 import json
 import os
@@ -31,15 +43,41 @@ from latentblending_tpu.runtime.holder import SDXLHolder
 DURATION_S = 12.0
 FPS = 30
 
+# dense bf16 peak FLOP/s per chip, by device_kind substring
+PEAK_FLOPS = [
+    ("TPU v5 lite", 197e12),   # v5e
+    ("TPU v5e", 197e12),
+    ("TPU v5p", 459e12),
+    ("TPU v4", 275e12),
+    ("TPU v6 lite", 918e12),   # trillium
+]
+
+
+def _peak_flops() -> float | None:
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    for sub, peak in PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _make_mesh_if_multichip():
+    """Expose mesh construction from the bench entry (VERDICT #3c): shard
+    stems over 'data' and optionally the UNet over 'model' (LB_MESH_TP)."""
+    from latentblending_tpu.parallel.mesh import auto_mesh
+
+    return auto_mesh()
+
 
 def main():
     spec = os.environ.get("LB_BENCH_SPEC", "sdxl-turbo")
     snapshot = os.environ.get("LB_SNAPSHOT")
+    mesh = _make_mesh_if_multichip()
     t_setup = time.time()
     if snapshot:
-        dh = SDXLHolder.from_pretrained(snapshot)
+        dh = SDXLHolder.from_pretrained(snapshot, mesh=mesh)
     else:
-        dh = SDXLHolder.from_random(spec, dtype=jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32)
+        dh = SDXLHolder.from_random(spec, dtype=jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32, mesh=mesh)
     be = BlendingEngine(dh)
     be.set_prompt1("photo of underwater landscape, fish, und the sea, incredible detail")
     be.set_prompt2("rendering of an alien planet, strange plants, strange creatures")
@@ -51,16 +89,42 @@ def main():
     be.write_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=DURATION_S, fps=FPS)
 
     fp_movie = "/tmp/lb_bench_movie.mp4"
+    flops0 = dh.runner.executed_flops
     t0 = time.time()
     be.run_transition(fixed_seeds=[420, 421])
     t_transition = time.time() - t0
     be.write_movie_transition(fp_movie, duration_transition=DURATION_S, fps=FPS)
     wall = time.time() - t0
 
+    denoise_flops = dh.runner.executed_flops - flops0
+    denoise_wall = (be.last_report.phases or {}).get("denoise", {}).get("total_s", 0.0)
+    peak = _peak_flops()
+    mfu = None
+    if peak and denoise_wall > 0 and denoise_flops > 0:
+        mfu = denoise_flops / denoise_wall / peak
+
+    # budget-planner honesty check (VERDICT #6): what the cost model
+    # promised vs what the transition actually took
+    from latentblending_tpu.ops.schedules import time_based_branching_plan  # noqa: F401
+
+    steps_exec = sum(
+        (be.num_inference_steps - idx) * n
+        for idx, n in zip(be.list_idx_injection, be.list_nmb_stems)
+    )
+    t_predicted = (
+        steps_exec * be.dt_unet_step
+        + be.dt_vae * sum(be.list_nmb_stems)
+        + 2 * (be.num_inference_steps * be.dt_unet_step + be.dt_vae)
+    )
+
     n_frames = DURATION_S * FPS
     fps_e2e = n_frames / wall
+    label = {
+        "sdxl-turbo": "SDXL-Turbo 512x512",
+        "sdxl-base": "SDXL-base 1024x1024 30-step",
+    }.get(dh.spec.name, dh.spec.name)
     result = {
-        "metric": "SDXL-Turbo 512x512 transition→12s movie, end-to-end frames/sec/chip",
+        "metric": f"{label} transition→12s movie, end-to-end frames/sec/chip",
         "value": round(fps_e2e, 3),
         "unit": "frames/sec",
         "vs_baseline": round(DURATION_S / wall, 3),
@@ -71,8 +135,16 @@ def main():
             "keyframes": len(be.tree_final_imgs),
             "dt_unet_step_s": round(be.dt_unet_step, 4),
             "phases": be.last_report.phases,
+            "denoise_tflops": round(denoise_flops / 1e12, 2),
+            "mfu_denoise": round(mfu, 4) if mfu is not None else None,
+            "planner_predicted_s": round(t_predicted, 2),
+            "planner_vs_actual": round(t_predicted / t_transition, 2) if t_transition > 0 else None,
+            "branching": {"idx_injection": be.list_idx_injection, "nmb_stems": be.list_nmb_stems},
             "setup_s": round(setup_s, 1),
             "device": str(jax.devices()[0]),
+            "n_devices": len(jax.devices()),
+            "mesh": str(dict(mesh.shape)) if mesh is not None else None,
+            "weights": "snapshot" if snapshot else "random-init (LPIPS = random-feature stand-in; see BENCH.md)",
         },
     }
     print(json.dumps(result))

@@ -31,11 +31,16 @@ def __getattr__(name):
         from latentblending_tpu.video.frames import add_frames_linear_interp
 
         return add_frames_linear_interp
+    if name == "EngineConfig":
+        from latentblending_tpu.engine.config import EngineConfig
+
+        return EngineConfig
     raise AttributeError(name)
 
 
 __all__ = [
     "BlendingEngine",
+    "EngineConfig",
     "SDXLHolder",
     "DiffusersHolder",
     "interpolate_spherical",

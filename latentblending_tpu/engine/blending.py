@@ -53,6 +53,17 @@ from latentblending_tpu.utils import get_logger
 log = get_logger(__name__)
 
 
+def _sync(x: jax.Array) -> None:
+    """Force completion of the computation producing x with a tiny host
+    copy. block_until_ready is not trustworthy on async relay transports
+    (returns before remote execution completes); a host copy of one element
+    is a real data dependency."""
+    arr = x
+    while arr.ndim > 0:
+        arr = arr[-1]
+    np.asarray(arr)
+
+
 class _PendingImage:
     """Placeholder in tree_final_imgs for a keyframe whose uint8 copy is
     still streaming device→host (resolved at the end of run_transition)."""
@@ -77,6 +88,8 @@ class BlendingEngine:
         stem_batch: int = 0,
         lpips_params=None,
         run_benchmark: bool | None = None,
+        cost_model: str = "batched",
+        config: "EngineConfig | None" = None,
     ):
         assert 0.0 < guidance_scale_mid_damper <= 1.0, (
             f"guidance_scale_mid_damper needs to be in interval (0,1], you provided {guidance_scale_mid_damper}"
@@ -87,6 +100,13 @@ class BlendingEngine:
         # stem_batch: how many stems of a level run as one batched denoise.
         # 0 → auto (whole level in one batch); 1 → exact reference policy.
         self.stem_batch = stem_batch
+        # cost_model: 'batched' calibrates the budget planner with a batched
+        # per-stem step time (matches how this engine actually executes;
+        # VERDICT weak #5); 'reference' reproduces the reference's
+        # single-stem measurement (blending_engine.py:100-118) for
+        # exact-plan parity.
+        assert cost_model in ("batched", "reference")
+        self.cost_model = cost_model
         self.seed1 = 0
         self.seed2 = 0
         self.prompt1 = ""
@@ -113,6 +133,7 @@ class BlendingEngine:
 
         self.set_dimensions()
         self.set_guidance_scale()
+        self.set_guidance_rescale()
         self.lpips = LPIPSScorer(params=lpips_params, image_hw=(self.dh.height_img, self.dh.width_img))
 
         self.set_prompt1("")
@@ -129,14 +150,92 @@ class BlendingEngine:
         if run_benchmark:
             self.benchmark_speed()
         self.set_branching()
+        if config is not None:
+            self.apply_config(config)
+
+    # ------------------------------------------------------- unified config
+
+    def get_config(self) -> "EngineConfig":
+        """Snapshot every engine knob into one EngineConfig (SURVEY §5)."""
+        from latentblending_tpu.engine.config import EngineConfig
+
+        d, t, n = self._branching_args if getattr(self, "_branching_args", None) else (None, None, None)
+        return EngineConfig(
+            width=self.dh.width_img, height=self.dh.height_img,
+            num_inference_steps=self.num_inference_steps,
+            guidance_scale=self.guidance_scale_base,
+            guidance_rescale=self.guidance_rescale,
+            guidance_scale_mid_damper=self.guidance_scale_mid_damper,
+            mid_compression_scaler=self.mid_compression_scaler,
+            negative_prompt=self.negative_prompt,
+            seed1=self.seed1, seed2=self.seed2,
+            branch1_crossfeed_power=self.branch1_crossfeed_power,
+            branch1_crossfeed_range=self.branch1_crossfeed_range,
+            branch1_crossfeed_decay=self.branch1_crossfeed_decay,
+            parental_crossfeed_power=self.parental_crossfeed_power,
+            parental_crossfeed_range=self.parental_crossfeed_range,
+            parental_crossfeed_decay=self.parental_crossfeed_decay,
+            depth_strength=d, t_compute_max_allowed=t, nmb_max_branches=n,
+            stem_batch=self.stem_batch, cost_model=self.cost_model,
+        )
+
+    def apply_config(self, cfg: "EngineConfig") -> None:
+        """Apply an EngineConfig through the setter API (same semantics as
+        calling each setter; None fields keep model defaults)."""
+        if cfg.width is not None and cfg.height is not None:
+            self.set_dimensions((cfg.width, cfg.height))
+        self.set_guidance_scale(cfg.guidance_scale)
+        self.set_guidance_rescale(cfg.guidance_rescale)
+        self.guidance_scale_mid_damper = cfg.guidance_scale_mid_damper
+        self.mid_compression_scaler = cfg.mid_compression_scaler
+        if cfg.negative_prompt:
+            self.set_negative_prompt(cfg.negative_prompt)
+        self.seed1, self.seed2 = int(cfg.seed1), int(cfg.seed2)
+        self.set_branch1_crossfeed(
+            cfg.branch1_crossfeed_power, cfg.branch1_crossfeed_range, cfg.branch1_crossfeed_decay
+        )
+        self.set_parental_crossfeed(
+            cfg.parental_crossfeed_power, cfg.parental_crossfeed_range, cfg.parental_crossfeed_decay
+        )
+        self.stem_batch = cfg.stem_batch
+        assert cfg.cost_model in ("batched", "reference")
+        self.cost_model = cfg.cost_model
+        if cfg.num_inference_steps is not None:
+            self.set_num_inference_steps(cfg.num_inference_steps)
+        self.set_branching(cfg.depth_strength, cfg.t_compute_max_allowed, cfg.nmb_max_branches)
 
     # ------------------------------------------------------------- settings
 
     def benchmark_speed(self):
         """Measure compiled per-step/decode time — feeds the budget planner
-        (reference blending_engine.py:100-118)."""
+        (reference blending_engine.py:100-118).
+
+        cost_model='batched' times the SAME compiled variants the run uses
+        (B=2 edge denoise + B=2 decode), so per-stem cost reflects batched
+        execution and no benchmark-only variants are compiled. Sync is
+        forced with a small host copy (async-dispatch-safe, unlike
+        block_until_ready through some transports)."""
         log.info("starting speed benchmark...")
-        self.dt_unet_step, self.dt_vae = self.dh.benchmark_speed()
+        if self.cost_model == "reference":
+            self.dt_unet_step, self.dt_vae = self.dh.benchmark_speed()
+        else:
+            N = self.dh.num_inference_steps
+            lat0 = jnp.concatenate([self.get_noise(0), self.get_noise(1)], axis=0)
+            cond = self._stack_conditionings([0.0, 1.0])
+            g = jnp.asarray([self._guidance_at(0.0), self._guidance_at(1.0)], jnp.float32)
+            run = lambda: self.dh.run_diffusion_batched(cond, lat0, idx_start=0, guidance_scale=g)
+            traj = run()  # compile
+            _sync(traj)
+            t0 = time.time()
+            traj = run()
+            _sync(traj)
+            self.dt_unet_step = (time.time() - t0) / (2 * N)
+            pm1 = self.dh.decode_to_pm1_batched(traj[-1])  # compile
+            _sync(pm1)
+            t0 = time.time()
+            pm1 = self.dh.decode_to_pm1_batched(traj[-1])
+            _sync(pm1)
+            self.dt_vae = (time.time() - t0) / 2
         log.info(f"time per unet iteration: {self.dt_unet_step:.4f}s  vae: {self.dt_vae:.4f}s")
 
     def set_dimensions(self, size_output: Optional[tuple[int, int]] = None):
@@ -148,6 +247,13 @@ class BlendingEngine:
         self.guidance_scale_base = float(guidance_scale)
         self.guidance_scale = float(guidance_scale)
         self.dh.guidance_scale = float(guidance_scale)
+
+    def set_guidance_rescale(self, guidance_rescale: float = 0.0):
+        """CFG rescale factor φ (arXiv:2305.08891 §3.4; reference
+        dh:172,:351-353 exposes it on the denoise loop). Applied to every
+        guided denoise this engine issues."""
+        self.guidance_rescale = float(np.clip(guidance_rescale, 0.0, 1.0))
+        self.dh.guidance_rescale = self.guidance_rescale
 
     def set_negative_prompt(self, negative_prompt: str):
         self.negative_prompt = negative_prompt
@@ -351,7 +457,7 @@ class BlendingEngine:
         t0 = time.time()
         latents_start = self.get_noise(self.seed1)
         list_latents1 = self.run_diffusion(cond, latents_start=latents_start, idx_start=0)
-        jax.block_until_ready(list_latents1[-1])
+        _sync(list_latents1[-1])
         if self.dh.last_run_was_warm:
             # only a compiled run is a valid per-step estimate for the
             # budget planner (compile time would inflate it ~100-1000×)
@@ -396,7 +502,7 @@ class BlendingEngine:
         g = jnp.asarray([self._guidance_at(0.0), self._guidance_at(1.0)], jnp.float32)
         t0 = time.time()
         traj = self.dh.run_diffusion_batched(cond, lat0, idx_start=0, guidance_scale=g)
-        jax.block_until_ready(traj)
+        _sync(traj)
         if self.dh.last_run_was_warm:
             self.dt_unet_step = (time.time() - t0) / (2 * self.num_inference_steps)
         N = self.num_inference_steps

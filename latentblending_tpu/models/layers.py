@@ -90,23 +90,6 @@ class LayerNorm(nn.Module):
         return out.astype(x.dtype)
 
 
-class Dense(nn.Module):
-    features: int
-    use_bias: bool = True
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Dense(
-            self.features,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="w",
-        )(x)
-
-
 def dense(features, dtype, param_dtype, name, use_bias=True):
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype, name=name)
 

@@ -18,9 +18,9 @@ from __future__ import annotations
 
 import functools
 import gzip
-import html
 import json
 import os
+import unicodedata
 
 import numpy as np
 import regex as re
@@ -67,6 +67,8 @@ class CLIPTokenizer:
         self.bos_token_id = bos_token_id
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
+        # HF CLIPTokenizer maps unknown pieces to unk_token == <|endoftext|>
+        self.unk_token_id = eos_token_id
         self.model_max_length = model_max_length
         self._cache: dict[str, list[str]] = {}
 
@@ -141,14 +143,27 @@ class CLIPTokenizer:
         return out
 
     def tokenize(self, text: str) -> list[int]:
-        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+        # normalization matches transformers' CLIPTokenizerFast (NFC →
+        # whitespace collapse → lowercase). NOTE: openai/CLIP additionally
+        # runs ftfy.fix_text + html.unescape×2; the HF tokenizers the
+        # reference actually uses (via diffusers pipe.encode_prompt,
+        # dh:81) do NOT — differential-tested in test_tokenizer_hf_diff.py.
+        text = _whitespace_clean(unicodedata.normalize("NFC", text)).lower()
         ids: list[int] = []
         for token in re.findall(_TOKEN_PATTERN, text):
+            # special tokens map straight to their ids (HF added-token
+            # machinery); they never pass through byte-BPE
+            if token == "<|startoftext|>":
+                ids.append(self.bos_token_id)
+                continue
+            if token == "<|endoftext|>":
+                ids.append(self.eos_token_id)
+                continue
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             for piece in self._bpe(token):
-                tid = self.encoder.get(piece)
-                if tid is not None:
-                    ids.append(tid)
+                # unknown pieces map to unk (HF CLIPTokenizer convention);
+                # with a full byte alphabet in the vocab this never triggers
+                ids.append(self.encoder.get(piece, self.unk_token_id))
         return ids
 
     def __call__(self, text: str | list[str]) -> np.ndarray:

@@ -46,6 +46,22 @@ def replicate_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), params)
 
 
+def auto_mesh(n_model: int | None = None):
+    """('data','model') mesh over all visible devices, or None single-chip.
+
+    The production entry points (bench.py, apps/) call this so multi-device
+    runs shard by default; n_model (or LB_MESH_TP) carves a tensor-parallel
+    axis out of the device count."""
+    import os
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return None
+    if n_model is None:
+        n_model = int(os.environ.get("LB_MESH_TP", "1"))
+    return make_mesh(n_data=n_dev // n_model, n_model=n_model)
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     """Stem batches are padded to a multiple of the data-axis size so the
     shard shapes stay static (recompilation control, SURVEY.md §7 hard part c)."""

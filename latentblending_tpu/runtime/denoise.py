@@ -151,47 +151,68 @@ class DenoiseRunner:
 
     def __init__(self, unet_apply: Callable):
         self._unet_apply = unet_apply
-        self._cache: dict[DenoisePlan, Callable] = {}
+        self._jitted: dict[DenoisePlan, Callable] = {}
+        self._compiled: dict[DenoisePlan, Any] = {}
         self._executed: set[DenoisePlan] = set()
+        # per-plan compiled FLOPs (XLA cost_analysis) + cumulative executed
+        # FLOPs — feeds MFU reporting (bench.py / profiling.py)
+        self.plan_flops: dict[DenoisePlan, float] = {}
+        self.executed_flops: float = 0.0
 
     def is_warm(self, plan: DenoisePlan) -> bool:
         """True if this plan has already executed (i.e. is compiled)."""
         return plan in self._executed
 
-    def get(self, plan: DenoisePlan) -> Callable:
-        fn = self._cache.get(plan)
+    def _get_jitted(self, plan: DenoisePlan) -> Callable:
+        fn = self._jitted.get(plan)
         if fn is None:
             fn = jax.jit(functools.partial(denoise_scan, self._unet_apply, plan=plan))
-            # keyword plan is static by closure; jit over array args
-            def wrapped(params, latents_start, cond, mix_window, mix_coeffs, sigmas, timesteps, guidance_scale, _fn=fn):
-                return _fn(
-                    params,
-                    latents_start=latents_start,
-                    cond=cond,
-                    mix_window=mix_window,
-                    mix_coeffs=mix_coeffs,
-                    sigmas=sigmas,
-                    timesteps=timesteps,
-                    guidance_scale=guidance_scale,
-                )
-
-            self._cache[plan] = wrapped
-            fn = wrapped
+            self._jitted[plan] = fn
         return fn
 
+    def get(self, plan: DenoisePlan) -> Callable:
+        """Callable for a plan (compat shim; run() is the main entry)."""
+        jitted = self._get_jitted(plan)
+
+        def wrapped(params, latents_start, cond, mix_window, mix_coeffs, sigmas, timesteps, guidance_scale):
+            return jitted(
+                params, latents_start=latents_start, cond=cond, mix_window=mix_window,
+                mix_coeffs=mix_coeffs, sigmas=sigmas, timesteps=timesteps,
+                guidance_scale=guidance_scale,
+            )
+
+        return wrapped
+
     def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale):
-        fn = self.get(plan)
+        """Execute one denoise scan. Each plan is AOT-compiled once
+        (lower→compile) so XLA's cost_analysis FLOPs are captured without a
+        second compilation; calls then go through the compiled executable."""
         self._executed.add(plan)
-        return fn(
-            params,
-            latents_start,
-            cond,
-            mix_window,
-            mix_coeffs,
-            jnp.asarray(schedule.sigmas),
-            jnp.asarray(schedule.timesteps),
-            guidance_scale,
+        kwargs = dict(
+            latents_start=latents_start, cond=cond, mix_window=mix_window,
+            mix_coeffs=mix_coeffs, sigmas=jnp.asarray(schedule.sigmas),
+            timesteps=jnp.asarray(schedule.timesteps), guidance_scale=guidance_scale,
         )
+        compiled = self._compiled.get(plan)
+        if compiled is None:
+            compiled = self._get_jitted(plan).lower(params, **kwargs).compile()
+            self._compiled[plan] = compiled
+            flops = 0.0
+            try:
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else {}
+                flops = float(ca.get("flops", 0.0) or 0.0)
+            except Exception:
+                flops = 0.0
+            self.plan_flops[plan] = flops
+        self.executed_flops += self.plan_flops.get(plan, 0.0)
+        try:
+            return compiled(params, **kwargs)
+        except (TypeError, ValueError):
+            # aval/sharding drift vs the lowered signature — fall back to the
+            # jit cache (re-specializes) rather than failing the run
+            return self._get_jitted(plan)(params, **kwargs)
 
 
 def build_mix_inputs(

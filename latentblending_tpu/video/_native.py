@@ -15,10 +15,20 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SO = os.path.join(_NATIVE_DIR, "libframeinterp.so")
 
 
+def _rebuild():
+    subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"], check=True, capture_output=True)
+
+
 def _load():
     if not os.path.exists(_SO):
-        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True, capture_output=True)
-    lib = ctypes.CDLL(_SO)
+        _rebuild()
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # stale/incompatible binary (e.g. built with -march=native on another
+        # host) — rebuild from source and retry once
+        _rebuild()
+        lib = ctypes.CDLL(_SO)
     lib.lerp_frames_multi_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8),

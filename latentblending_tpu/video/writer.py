@@ -15,8 +15,42 @@ import tempfile
 import numpy as np
 
 
+def _ffmpeg_exe() -> str | None:
+    """Best available ffmpeg binary: PATH, else the one bundled with the
+    imageio-ffmpeg wheel (present in many ML images) — both give the
+    reference's x264 output (reference blending_engine.py:703-706)."""
+    exe = shutil.which("ffmpeg")
+    if exe:
+        return exe
+    try:
+        import imageio_ffmpeg
+
+        return imageio_ffmpeg.get_ffmpeg_exe()
+    except Exception:
+        return None
+
+
 def _has_ffmpeg() -> bool:
-    return shutil.which("ffmpeg") is not None
+    return _ffmpeg_exe() is not None
+
+
+_CV2_FOURCC: str | None = None
+
+
+def _cv2_fourcc() -> str:
+    """Preferred OpenCV codec, probed once: h264/'avc1' (matches the
+    reference's x264 output) when an encoder is available, else mp4v."""
+    global _CV2_FOURCC
+    if _CV2_FOURCC is None:
+        import cv2
+
+        probe = os.path.join(tempfile.gettempdir(), "_lb_codec_probe.mp4")
+        w = cv2.VideoWriter(probe, cv2.VideoWriter_fourcc(*"avc1"), 30, (64, 64))
+        _CV2_FOURCC = "avc1" if w.isOpened() else "mp4v"
+        w.release()
+        if os.path.exists(probe):
+            os.remove(probe)
+    return _CV2_FOURCC
 
 
 class MovieSaver:
@@ -42,10 +76,11 @@ class MovieSaver:
         if h % 2 or w % 2:
             # yuv420p (and most players) require even dimensions
             raise ValueError(f"movie dimensions must be even, got {w}x{h}")
-        if _has_ffmpeg():
+        exe = _ffmpeg_exe()
+        if exe is not None:
             self._proc = subprocess.Popen(
                 [
-                    "ffmpeg", "-y", "-loglevel", "error",
+                    exe, "-y", "-loglevel", "error",
                     "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(self.fps),
                     "-i", "-", "-c:v", "libx264", "-crf", str(self.crf), "-pix_fmt", "yuv420p",
                     self.fp_movie,
@@ -56,7 +91,7 @@ class MovieSaver:
             import cv2
 
             self._writer = cv2.VideoWriter(
-                self.fp_movie, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+                self.fp_movie, cv2.VideoWriter_fourcc(*_cv2_fourcc()), self.fps, (w, h)
             )
             if not self._writer.isOpened():
                 raise RuntimeError(f"cv2.VideoWriter failed to open {self.fp_movie}")

@@ -27,7 +27,7 @@ def fake_unet(params, latents, t, prompt_embeds, pooled, time_ids):
     return 0.1 * latents + 0.01 * jnp.sin(t) + 0.05 * bias
 
 
-def reference_loop(latents_start, idx_start, mix_traj, coeffs, sched, embeds, guidance=None, neg_embeds=None):
+def reference_loop(latents_start, idx_start, mix_traj, coeffs, sched, embeds, guidance=None, neg_embeds=None, guidance_rescale=0.0):
     """Reference-semantics sequential loop (dh:312-359) for a single branch."""
     latents = None
     out = []
@@ -46,6 +46,11 @@ def reference_loop(latents_start, idx_start, mix_traj, coeffs, sched, embeds, gu
             eps_u = fake_unet(None, lmi, jnp.float32(t), neg_embeds, None, None)
             eps_t = fake_unet(None, lmi, jnp.float32(t), embeds, None, None)
             eps = eps_u + guidance * (eps_t - eps_u)
+            if guidance_rescale > 0.0:
+                # diffusers rescale_noise_cfg (reference dh:351-353)
+                std_t = jnp.std(eps_t)
+                std_cfg = jnp.std(eps)
+                eps = guidance_rescale * (eps * (std_t / std_cfg)) + (1.0 - guidance_rescale) * eps
         else:
             eps = fake_unet(None, lmi, jnp.float32(t), embeds, None, None)
         latents = latents + eps * (sigma_next - sigma)
@@ -135,6 +140,49 @@ def test_cfg_combine(sched):
             neg_embeds=cond.neg_prompt_embeds[b : b + 1],
         )
         np.testing.assert_allclose(np.asarray(traj[-1, b]), ref[-1][0], rtol=2e-4, atol=2e-4)
+
+
+def test_guidance_rescale_matches_reference_semantics(sched):
+    """CFG rescale (arXiv:2305.08891; reference dh:351-353) changes the
+    combined eps exactly like the reference formula — per stem."""
+    runner = DenoiseRunner(fake_unet)
+    B, g, phi = 1, 7.5, 0.7
+    lat0 = jax.random.normal(jax.random.PRNGKey(8), (B, H, W, 4)) * sched.init_noise_sigma
+    cond = _cond(B, jax.random.PRNGKey(9))
+    plan = DenoisePlan(num_steps=N, idx_start=0, batch=B, use_cfg=True, guidance_rescale=phi)
+    mw, mc = build_mix_inputs(N, 0, None, None, lat0)
+    traj = runner.run(plan, None, lat0, cond, mw, mc, sched, jnp.full((B,), g))
+    ref = reference_loop(
+        lat0, 0, None, None, sched, cond.prompt_embeds,
+        guidance=g, neg_embeds=cond.neg_prompt_embeds, guidance_rescale=phi,
+    )
+    np.testing.assert_allclose(np.asarray(traj[-1, 0]), ref[-1][0], rtol=2e-4, atol=2e-4)
+    # and it must actually differ from the unrescaled trajectory
+    plan0 = DenoisePlan(num_steps=N, idx_start=0, batch=B, use_cfg=True)
+    traj0 = runner.run(plan0, None, lat0, cond, mw, mc, sched, jnp.full((B,), g))
+    assert float(jnp.abs(traj[-1] - traj0[-1]).max()) > 1e-6
+
+
+def test_guidance_rescale_plumbing_holder_engine():
+    """set_guidance_rescale flows engine → holder → DenoisePlan and alters
+    the produced keyframes (VERDICT #7: previously dead capability)."""
+    from latentblending_tpu.engine.blending import BlendingEngine
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    dh = SDXLHolder.from_random("tiny-base", dtype=jnp.float32)
+    be = BlendingEngine(dh, run_benchmark=False)
+    be.set_num_inference_steps(4)
+    be.set_branching(nmb_max_branches=3)
+    be.set_prompt1("a")
+    be.set_prompt2("b")
+    imgs_plain = [np.asarray(x) for x in be.run_transition(fixed_seeds=[1, 2])]
+    be.set_guidance_rescale(0.7)
+    assert dh.guidance_rescale == 0.7
+    imgs_rescaled = [np.asarray(x) for x in be.run_transition(fixed_seeds=[1, 2])]
+    assert any(
+        np.abs(a.astype(np.int32) - b.astype(np.int32)).max() > 0
+        for a, b in zip(imgs_plain, imgs_rescaled)
+    )
 
 
 def test_batched_equals_sequential(sched):

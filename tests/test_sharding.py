@@ -58,6 +58,86 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_holder_mesh_pads_ragged_batch():
+    """B=5 on an 8-device mesh: the holder pads to 8 instead of silently
+    dropping sharding (VERDICT weak #3), and results match unsharded."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    mesh = make_mesh()
+    dh0 = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32)
+    dh1 = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32, mesh=mesh)
+    te = dh0.get_text_embedding("test")
+    B = 5
+    lat = jnp.concatenate([dh0.get_noise(i) for i in range(B)], axis=0)
+    traj1 = dh1.run_diffusion_batched(dh1._conditioning(te, B), lat)
+    traj0 = dh0.run_diffusion_batched(dh0._conditioning(te, B), lat)
+    assert traj1.shape == traj0.shape  # padding sliced back off
+    np.testing.assert_allclose(
+        np.asarray(traj1[-1], np.float32), np.asarray(traj0[-1], np.float32), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_holder_mesh_tp_sharded_params():
+    """dp×tp (4×2) mesh: holder applies Megatron TP rules to UNet params
+    (VERDICT weak #4 — TP integrated into the production path)."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dh0 = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32)
+    dh1 = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32, mesh=mesh)
+    te = dh0.get_text_embedding("test")
+    B = 4
+    lat = jnp.concatenate([dh0.get_noise(i) for i in range(B)], axis=0)
+    traj1 = dh1.run_diffusion_batched(dh1._conditioning(te, B), lat)
+    # params actually TP-sharded: at least one leaf lives on the 'model' axis
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(dh1.params["unet"])
+    specs = {
+        "/".join(k): getattr(v.sharding, "spec", None)
+        for k, v in flat.items()
+        if hasattr(v, "sharding")
+    }
+    assert any(s is not None and "model" in str(s) for s in specs.values()), "no TP-sharded param found"
+    traj0 = dh0.run_diffusion_batched(dh0._conditioning(te, B), lat)
+    np.testing.assert_allclose(
+        np.asarray(traj1[-1], np.float32), np.asarray(traj0[-1], np.float32), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_engine_multidevice_keyframes_match_single_device():
+    """Full BlendingEngine over the 8-device mesh == single-device engine,
+    with an odd stem count exercising the pad path (VERDICT #3 done-bar)."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.engine.blending import BlendingEngine
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    mesh = make_mesh()
+
+    def build(m):
+        dh = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32, mesh=m)
+        be = BlendingEngine(dh, run_benchmark=False)
+        be.set_prompt1("photo of a cat")
+        be.set_prompt2("photo of a dog")
+        be.set_branching(depth_strength=0.5, nmb_max_branches=5)  # 5 stems → pad path
+        return be
+
+    be1 = build(mesh)
+    imgs1 = [np.asarray(x) for x in be1.run_transition(fixed_seeds=[420, 421])]
+    be0 = build(None)
+    imgs0 = [np.asarray(x) for x in be0.run_transition(fixed_seeds=[420, 421])]
+    assert len(imgs1) == len(imgs0)
+    assert be1.tree_fracts == be0.tree_fracts
+    for a, b in zip(imgs1, imgs0):
+        # uint8 keyframes: identical up to ±1 quantization from float jitter
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
 def test_holder_mesh_sharded_run():
     """SDXLHolder(mesh=...) shards the stem batch over 'data' and matches
     the unsharded run."""

@@ -43,10 +43,12 @@ def test_truncation():
     assert ids[0, -1] == 1  # eos survives truncation
 
 
-def test_unknown_pieces_skipped():
+def test_unknown_pieces_map_to_unk():
     tok = _toy_tokenizer()
-    # 'z' is not in the vocab at all → silently dropped (no crash)
-    assert tok.tokenize("hello") == tok.tokenize("z hello")
+    # 'z' is not in the vocab at all → unk token id (HF CLIPTokenizer
+    # convention, unk == <|endoftext|>; differential-tested in
+    # test_tokenizer_hf_diff.py)
+    assert tok.tokenize("z hello") == [tok.unk_token_id, 10]
 
 
 def test_hash_tokenizer_contract():

@@ -10,7 +10,11 @@ vs_baseline = (movie seconds) / (wall seconds): 1.0 == real time.
 
 Configs (BASELINE.json):
   default              SDXL-Turbo 512², 4 steps, 10 branches (config "turbo")
-  LB_BENCH_SPEC=sdxl-base   SDXL-base 1024², 30 steps, CFG 4.0, 20 s budget
+  LB_BENCH_SPEC=sdxl-base   SDXL-base 1024², 30 steps, CFG 4.0,
+                            nmb_max_branches=10 (BASELINE config 2 — a FIXED
+                            workload; budget mode fills its 20 s wall by
+                            construction so it can't show speedups).
+                            LB_BENCH_BUDGET=20 switches to budget mode.
   LB_BENCH_SPEC=tiny-turbo  fast smoke run
 
 Weights: random-initialized full architecture (2.6B-param UNet, real
@@ -79,6 +83,12 @@ def main():
     else:
         dh = SDXLHolder.from_random(spec, dtype=jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32, mesh=mesh)
     be = BlendingEngine(dh)
+    if not dh.is_sdxl_turbo:
+        budget = os.environ.get("LB_BENCH_BUDGET")
+        if budget:
+            be.set_branching(t_compute_max_allowed=float(budget))
+        else:
+            be.set_branching(nmb_max_branches=int(os.environ.get("LB_BENCH_BRANCHES", "10")))
     be.set_prompt1("photo of underwater landscape, fish, und the sea, incredible detail")
     be.set_prompt2("rendering of an alien planet, strange plants, strange creatures")
     be.set_negative_prompt("blurry, ugly, pale")

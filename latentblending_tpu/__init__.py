@@ -35,6 +35,11 @@ def __getattr__(name):
         from latentblending_tpu.engine.config import EngineConfig
 
         return EngineConfig
+    if name in ("get_spacing", "get_time", "yml_load", "yml_save"):
+        # reference package __init__ exports these utils — drop-in parity
+        import latentblending_tpu.utils as _u
+
+        return getattr(_u, name)
     raise AttributeError(name)
 
 
@@ -47,4 +52,8 @@ __all__ = [
     "interpolate_spherical_batched",
     "interpolate_linear",
     "add_frames_linear_interp",
+    "get_spacing",
+    "get_time",
+    "yml_load",
+    "yml_save",
 ]

@@ -90,6 +90,7 @@ class BlendingEngine:
         run_benchmark: bool | None = None,
         cost_model: str = "batched",
         config: "EngineConfig | None" = None,
+        similarity_metric: str = "lpips",
     ):
         assert 0.0 < guidance_scale_mid_damper <= 1.0, (
             f"guidance_scale_mid_damper needs to be in interval (0,1], you provided {guidance_scale_mid_damper}"
@@ -134,7 +135,25 @@ class BlendingEngine:
         self.set_dimensions()
         self.set_guidance_scale()
         self.set_guidance_rescale()
-        self.lpips = LPIPSScorer(params=lpips_params, image_hw=(self.dh.height_img, self.dh.width_img))
+        # similarity_metric: 'lpips' (reference parity; needs real weights
+        # for the reference's exact gap ranking) or 'nlpd' — a published
+        # weight-free perceptual metric (models/perceptual.py), fully
+        # deterministic, recommended when no LPIPS weights are available.
+        assert similarity_metric in ("lpips", "nlpd")
+        self.similarity_metric = similarity_metric
+        if similarity_metric == "nlpd":
+            from latentblending_tpu.models.perceptual import NLPDScorer
+
+            self.lpips = NLPDScorer(image_hw=(self.dh.height_img, self.dh.width_img))
+        else:
+            if lpips_params is None:
+                log.warning(
+                    "LPIPS weights not supplied — using the random-feature "
+                    "stand-in (valid for relative gap ranking only). For a "
+                    "deterministic principled metric without weights, pass "
+                    "similarity_metric='nlpd'."
+                )
+            self.lpips = LPIPSScorer(params=lpips_params, image_hw=(self.dh.height_img, self.dh.width_img))
 
         self.set_prompt1("")
         self.set_prompt2("")
@@ -393,11 +412,13 @@ class BlendingEngine:
             list_latents1, list_latents2 = self.tree_latents[0], self.tree_latents[-1]
         elif not ok1 and not ok2 and self.branch1_crossfeed_power == 0.0:
             # both fresh and independent → one batch of 2 trajectories
-            list_latents1, list_latents2 = self._compute_edge_latents_batched()
+            with self.timer.phase("denoise"):
+                list_latents1, list_latents2 = self._compute_edge_latents_batched()
         else:
             # sequential path (recycled edge, or crossfeed ties branch 2 to 1)
-            list_latents1 = self.tree_latents[0] if ok1 else self.compute_latents1()
-            list_latents2 = self.tree_latents[-1] if ok2 else self.compute_latents2()
+            with self.timer.phase("denoise"):
+                list_latents1 = self.tree_latents[0] if ok1 else self.compute_latents1()
+                list_latents2 = self.tree_latents[-1] if ok2 else self.compute_latents2()
 
         self.tree_latents = [list_latents1, list_latents2]
         self.tree_fracts = [0.0, 1.0]

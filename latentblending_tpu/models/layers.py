@@ -138,6 +138,24 @@ def _use_flash_attention(lq: int, lk: int, mask) -> bool:
     return jax.default_backend() == "tpu" and mask is None and lq == lk and lq >= 1024 and lq % 512 == 0
 
 
+def _flash_block_sizes(b: int, heads: int, lq: int, lk: int):
+    """Flash-attention tile sizes. The kernel default (block 512) leaves MXU
+    idle time at our shapes (d=64 heads); LB_FLASH_BQ / LB_FLASH_BK override
+    for tuning, measured values become the default."""
+    import os
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = int(os.environ.get("LB_FLASH_BQ", "0")) or min(1024, lq)
+    bk = int(os.environ.get("LB_FLASH_BK", "0")) or min(1024, lk)
+    bq, bk = min(bq, lq), min(bk, lk)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+
+
 class Attention(nn.Module):
     """Multi-head attention with separate q/k/v projections.
 
@@ -173,6 +191,7 @@ class Attention(nn.Module):
                 v.transpose(0, 2, 1, 3),
                 causal=False,
                 sm_scale=float(1.0 / (self.dim_head**0.5)),
+                block_sizes=_flash_block_sizes(b, self.heads, lq, lk),
             ).transpose(0, 2, 1, 3)
         else:
             bias = None

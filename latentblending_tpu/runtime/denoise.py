@@ -183,10 +183,15 @@ class DenoiseRunner:
 
         return wrapped
 
-    def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale):
+    def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None):
         """Execute one denoise scan. Each plan is AOT-compiled once
-        (lower→compile) so XLA's cost_analysis FLOPs are captured without a
-        second compilation; calls then go through the compiled executable."""
+        (lower→compile); calls then go through the compiled executable.
+
+        flops: analytic FLOPs of this call (ops/flops.py) — preferred for
+        executed_flops/MFU accounting because XLA's cost_analysis counts a
+        scan body once (not exec_steps×) and reports nothing for Pallas
+        custom calls, under-counting ~10-30×. The raw cost_analysis number
+        is still recorded per plan in plan_flops for reference."""
         self._executed.add(plan)
         kwargs = dict(
             latents_start=latents_start, cond=cond, mix_window=mix_window,
@@ -197,16 +202,16 @@ class DenoiseRunner:
         if compiled is None:
             compiled = self._get_jitted(plan).lower(params, **kwargs).compile()
             self._compiled[plan] = compiled
-            flops = 0.0
+            flops_xla = 0.0
             try:
                 ca = compiled.cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0] if ca else {}
-                flops = float(ca.get("flops", 0.0) or 0.0)
+                flops_xla = float(ca.get("flops", 0.0) or 0.0)
             except Exception:
-                flops = 0.0
-            self.plan_flops[plan] = flops
-        self.executed_flops += self.plan_flops.get(plan, 0.0)
+                flops_xla = 0.0
+            self.plan_flops[plan] = flops_xla
+        self.executed_flops += flops if flops is not None else self.plan_flops.get(plan, 0.0)
         try:
             return compiled(params, **kwargs)
         except (TypeError, ValueError):

@@ -113,9 +113,8 @@ class SDXLHolder:
         self.clip1 = CLIPTextEncoder(self.spec.clip1)
         self.clip2 = CLIPTextEncoder(self.spec.clip2)
         self.params = params
-        # HBM plan (v5e 16GB): batched VAE decodes run in chunks so the
-        # full-res decoder activations (512·512·128ch · B) stay bounded.
-        self.decode_chunk = 8 if vae_dtype == jnp.bfloat16 else 4
+        self._decode_chunk_override: int | None = None
+        self._vae_dtype = vae_dtype
         self.last_run_was_warm = False
 
         v = self.spec.clip1.vocab_size
@@ -262,6 +261,23 @@ class SDXLHolder:
         self.height_img = int(round(height / s) * s)
         self.width_latent = self.width_img // s
         self.height_latent = self.height_img // s
+
+    @property
+    def decode_chunk(self) -> int:
+        """HBM plan (v5e 16GB): batched VAE decodes run in chunks so the
+        full-res decoder activations (H·W·128ch·B plus the 2× upsample
+        stages) stay bounded. Activation bytes scale with H·W, so the chunk
+        shrinks with output area: 8 at ≤512² bf16, 2 at 1024² (alongside the
+        5.1 GB bf16 UNet + text towers the decode peak must fit in HBM)."""
+        if self._decode_chunk_override is not None:
+            return self._decode_chunk_override
+        base = 8 if self._vae_dtype == jnp.bfloat16 else 4
+        area_scale = max(1, (self.height_img * self.width_img) // (512 * 512))
+        return max(1, base // area_scale)
+
+    @decode_chunk.setter
+    def decode_chunk(self, value: int):
+        self._decode_chunk_override = int(value)
 
     def set_negative_prompt(self, negative_prompt):
         if isinstance(negative_prompt, (list, tuple)):
@@ -462,8 +478,17 @@ class SDXLHolder:
         # warm-plan marker: timing callers must not fold compile time into
         # the per-step estimate that feeds the budget planner
         self.last_run_was_warm = self.runner.is_warm(plan)
+        from latentblending_tpu.ops.flops import unet_forward_flops
+
+        flops = plan.exec_steps * unet_forward_flops(
+            self.spec.unet,
+            latents_start.shape[1],
+            latents_start.shape[2],
+            B_run * (2 if use_cfg else 1),
+        )
         traj = self.runner.run(
-            plan, self.params["unet"], latents_start, cond, mw, mc, self.schedule, guidance_scale
+            plan, self.params["unet"], latents_start, cond, mw, mc, self.schedule, guidance_scale,
+            flops=flops,
         )
         return traj[:, :B] if B_run != B else traj
 

@@ -38,7 +38,7 @@ def get_time(resolution: str | None = None) -> str:
 
 def get_spacing(nmb_points: int, scaling: float):
     """Nonlinear [0,1] spacing, denser around 0.5 (reference utils.py:181-200;
-    dead code there, kept for API completeness)."""
+    exported by the reference package __init__, so it is public API)."""
     import numpy as np
 
     if scaling < 1.7:
@@ -51,12 +51,6 @@ def get_spacing(nmb_points: int, scaling: float):
         left = left[:-1]
         right = 1 - left[::-1]
     return np.hstack([left, right])
-
-
-def compare_dicts(a: dict, b: dict) -> dict:
-    """Keys shared by a and b whose values differ, stacked (reference
-    utils.py:224-242)."""
-    return {k: [a[k], b[k]] for k in a if k in b and a[k] != b[k]}
 
 
 def yml_load(fp_yml: str) -> dict:

@@ -9,7 +9,10 @@ cannot fake the timing (see memory: block_until_ready lies here).
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +41,25 @@ def main():
     p.add_argument("--batches", default="2,4,8")
     p.add_argument("--steps", type=int, default=8, help="chained steps per timing")
     p.add_argument("--dtype", default="bf16")
+    p.add_argument(
+        "--ablate",
+        default="",
+        help="comma list: conv_only (no transformers), depth1 (1 tx layer "
+        "per block), noflash (LB_FLASH=0) — each timed vs the full model",
+    )
     args = p.parse_args()
 
     cfg = {"sdxl-base": C.SDXL_BASE_UNET, "sdxl-turbo": C.SDXL_TURBO_UNET}[args.spec]
+    import dataclasses
+
+    ablations = [a for a in args.ablate.split(",") if a]
+    if "conv_only" in ablations:
+        cfg = dataclasses.replace(cfg, down_block_has_attn=(False, False, False),
+                                  transformer_layers_per_block=(0, 0, 0))
+    if "depth1" in ablations:
+        cfg = dataclasses.replace(cfg, transformer_layers_per_block=(1, 1, 1))
+    if "noflash" in ablations:
+        os.environ["LB_FLASH"] = "0"
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
     H = args.res // 8
     unet = UNet2DCondition(cfg, dtype=dtype, param_dtype=dtype)

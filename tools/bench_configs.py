@@ -9,6 +9,9 @@ Each row: transition wall (warm), keyframes. Run on the real chip:
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

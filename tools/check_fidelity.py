@@ -16,7 +16,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -101,6 +104,54 @@ def check(args):
     return 0 if ok else 1
 
 
+def self_check(args):
+    """Batched-policy drift check, runnable WITHOUT goldens or weights.
+
+    The engine's one documented policy deviation (SURVEY §7.5) is level-wise
+    batched placement vs the reference's one-at-a-time argmax. This runs the
+    SAME engine twice — stem_batch=0 (batched rounds) vs stem_batch=1
+    (exactly the reference's greedy policy) — and scores nearest-fraction
+    keyframe pairs with the NLPD perceptual metric. Weight values don't
+    change the *architecture* of the comparison, so this is meaningful
+    evidence with random weights too (and exact with real ones)."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.engine.blending import BlendingEngine
+    from latentblending_tpu.models.perceptual import NLPDScorer
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    if args.snapshot:
+        dh = SDXLHolder.from_pretrained(args.snapshot)
+    else:
+        dh = SDXLHolder.from_random(args.spec, dtype=jnp.bfloat16 if args.spec.startswith("sdxl") else jnp.float32)
+
+    def run(stem_batch):
+        be = BlendingEngine(dh, stem_batch=stem_batch, similarity_metric="nlpd")
+        be.set_prompt1(args.prompt1)
+        be.set_prompt2(args.prompt2)
+        if not dh.is_sdxl_turbo:
+            be.set_branching(nmb_max_branches=args.branches)
+        imgs = be.run_transition(fixed_seeds=[420, 421])
+        return [np.asarray(im) for im in imgs], list(be.tree_fracts)
+
+    imgs_b, fr_b = run(0)
+    imgs_s, fr_s = run(1)
+    scorer = NLPDScorer()
+    dists = []
+    for f, im in zip(fr_b, imgs_b):
+        g = int(np.argmin(np.abs(np.asarray(fr_s) - f)))
+        dists.append(scorer.distance(im, imgs_s[g]))
+    dists = np.asarray(dists)
+    print(
+        f"batched-vs-reference-policy NLPD over {len(dists)} keyframes: "
+        f"mean {dists.mean():.4f}  max {dists.max():.4f}  "
+        f"(fracts batched={np.round(fr_b,3).tolist()} sequential={np.round(fr_s,3).tolist()})"
+    )
+    ok = dists.max() <= args.bar
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,10 +168,19 @@ def main():
     c.add_argument("--snapshot", required=True)
     c.add_argument("--lpips_weights", default=None, help="torch lpips state dict (.pth)")
     c.add_argument("--bar", type=float, default=0.05)
+    s = sub.add_parser("self-check")
+    s.add_argument("--spec", default="sdxl-turbo")
+    s.add_argument("--snapshot", default=None)
+    s.add_argument("--prompt1", default="photo of underwater landscape, fish, und the sea, incredible detail")
+    s.add_argument("--prompt2", default="rendering of an alien planet, strange plants, strange creatures")
+    s.add_argument("--branches", type=int, default=10)
+    s.add_argument("--bar", type=float, default=0.05)
     args = p.parse_args()
     if args.cmd == "make-goldens":
         make_goldens(args)
         return 0
+    if args.cmd == "self-check":
+        return self_check(args)
     return check(args)
 
 

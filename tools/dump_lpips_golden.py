@@ -18,6 +18,9 @@ distances through the converted weights (skips when files are absent).
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

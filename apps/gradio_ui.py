@@ -18,6 +18,7 @@ import datetime
 import os
 import tempfile
 import threading
+import time
 import uuid
 
 import numpy as np
@@ -50,6 +51,10 @@ class UserSession:
         self.jpg_quality = 80
         self.fp_movie = ""
         self.fp_json = ""
+        self.last_active = time.time()
+
+    def touch(self):
+        self.last_active = time.time()
 
     def init_new_movie(self):
         stamp = datetime.datetime.now().strftime("%y%m%d_%H%M")
@@ -69,19 +74,37 @@ class UserSession:
 
 
 class MultiUserRouter:
-    def __init__(self, engines: dict[str, BlendingEngine], nmb_preview_images: int = 4):
+    def __init__(self, engines: dict[str, BlendingEngine], nmb_preview_images: int = 4, max_users: int = 100):
         self.engines = engines
         self.locks = {name: threading.Lock() for name in engines}
         self.sessions: dict[str, UserSession] = {}
         self.nmb_preview_images = nmb_preview_images
         self.list_models = list(engines.keys())
+        self.max_users = max_users
 
     def register_new_user(self, model: str, width: int, height: int) -> str:
+        self.user_overflow_protection()
         user_id = str(uuid.uuid4().hex.upper()[0:8])
         self.sessions[user_id] = UserSession(model, int(width), int(height), self.nmb_preview_images)
         return user_id
 
+    def user_overflow_protection(self):
+        """Evict least-recently-active sessions beyond max_users. The
+        reference declares this hook but leaves it an empty stub
+        (gradio_ui.py:56-57) — here it actually bounds memory: each session
+        holds preview-image paths and keyframe records."""
+        while len(self.sessions) >= self.max_users:
+            oldest = min(self.sessions, key=lambda k: self.sessions[k].last_active)
+            s = self.sessions.pop(oldest)
+            for fp in s.list_images_preview:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
+            log.info(f"evicted idle session {oldest} (user overflow protection)")
+
     def _engine_for(self, s: UserSession) -> tuple[BlendingEngine, threading.Lock]:
+        s.touch()
         return self.engines[s.engine_name], self.locks[s.engine_name]
 
     def compute_imgs(self, user_id: str, prompt: str, negative_prompt: str):

@@ -196,6 +196,7 @@ class BlendingEngine:
             parental_crossfeed_decay=self.parental_crossfeed_decay,
             depth_strength=d, t_compute_max_allowed=t, nmb_max_branches=n,
             stem_batch=self.stem_batch, cost_model=self.cost_model,
+            similarity_metric=self.similarity_metric,
         )
 
     def apply_config(self, cfg: "EngineConfig") -> None:
@@ -219,6 +220,15 @@ class BlendingEngine:
         self.stem_batch = cfg.stem_batch
         assert cfg.cost_model in ("batched", "reference")
         self.cost_model = cfg.cost_model
+        if cfg.similarity_metric != self.similarity_metric:
+            assert cfg.similarity_metric in ("lpips", "nlpd")
+            self.similarity_metric = cfg.similarity_metric
+            if cfg.similarity_metric == "nlpd":
+                from latentblending_tpu.models.perceptual import NLPDScorer
+
+                self.lpips = NLPDScorer(image_hw=(self.dh.height_img, self.dh.width_img))
+            else:
+                self.lpips = LPIPSScorer(params=None, image_hw=(self.dh.height_img, self.dh.width_img))
         if cfg.num_inference_steps is not None:
             self.set_num_inference_steps(cfg.num_inference_steps)
         self.set_branching(cfg.depth_strength, cfg.t_compute_max_allowed, cfg.nmb_max_branches)

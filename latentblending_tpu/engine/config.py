@@ -42,6 +42,7 @@ class EngineConfig:
     # TPU-build execution knobs (no reference counterpart)
     stem_batch: int = 0          # 0 = whole level per batch; 1 = reference policy
     cost_model: str = "batched"  # 'batched' | 'reference' planner calibration
+    similarity_metric: str = "lpips"  # 'lpips' (reference) | 'nlpd' (weight-free)
 
     @classmethod
     def defaults(cls, is_sdxl_turbo: bool) -> "EngineConfig":

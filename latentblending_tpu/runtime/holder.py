@@ -271,6 +271,11 @@ class SDXLHolder:
         5.1 GB bf16 UNet + text towers the decode peak must fit in HBM)."""
         if self._decode_chunk_override is not None:
             return self._decode_chunk_override
+        import os
+
+        env = os.environ.get("LB_DECODE_CHUNK")
+        if env:
+            return max(1, int(env))
         base = 8 if self._vae_dtype == jnp.bfloat16 else 4
         area_scale = max(1, (self.height_img * self.width_img) // (512 * 512))
         return max(1, base // area_scale)

@@ -55,3 +55,21 @@ def test_constructor_accepts_config():
     assert sum(be.list_nmb_stems) == 3
     # and the plan was re-derived for N=5
     assert all(i < 5 for i in be.list_idx_injection)
+
+
+def test_config_similarity_metric_roundtrip():
+    import jax.numpy as jnp
+
+    from latentblending_tpu.engine.blending import BlendingEngine
+    from latentblending_tpu.engine.config import EngineConfig
+    from latentblending_tpu.models.perceptual import NLPDScorer
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+    be = BlendingEngine(dh, run_benchmark=False)
+    cfg = be.get_config()
+    assert cfg.similarity_metric == "lpips"
+    cfg.similarity_metric = "nlpd"
+    be.apply_config(cfg)
+    assert isinstance(be.lpips, NLPDScorer)
+    assert be.get_config().similarity_metric == "nlpd"

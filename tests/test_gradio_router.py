@@ -89,3 +89,20 @@ def test_generate_movie(router, tmp_path, monkeypatch):
     cap = cv2.VideoCapture(fp)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 30
     cap.release()
+
+
+def test_user_overflow_protection(router):
+    """Oldest idle sessions are evicted past max_users (the reference's
+    stub at gradio_ui.py:56-57, made functional)."""
+    import time
+
+    old_cap = router.max_users
+    try:
+        router.max_users = 3
+        ids = [router.register_new_user("tiny-turbo", 128, 128) for _ in range(3)]
+        router.sessions[ids[0]].last_active = time.time() - 100  # oldest
+        newest = router.register_new_user("tiny-turbo", 128, 128)
+        assert ids[0] not in router.sessions
+        assert newest in router.sessions and ids[1] in router.sessions
+    finally:
+        router.max_users = old_cap

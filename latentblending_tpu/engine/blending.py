@@ -414,6 +414,10 @@ class BlendingEngine:
         t_run0 = time.time()
         self.timer = PhaseTimer()
         self.last_report = TransitionReport(num_steps=self.num_inference_steps)
+        # ancestral per-step noise (euler_ancestral schedulers) derives from
+        # the transition seeds — deterministic re-runs, unlike the
+        # reference's global-RNG scheduler noise (dh:356)
+        self.dh.noise_seed_base = (int(self.seed1) * 1_000_003 + int(self.seed2)) & 0x7FFFFFFF
 
         ok1 = recycle_img1 and self.tree_latents[0] is not None and len(self.tree_latents[0]) == self.num_inference_steps
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps

@@ -138,16 +138,19 @@ def _use_flash_attention(lq: int, lk: int, mask) -> bool:
     return jax.default_backend() == "tpu" and mask is None and lq == lk and lq >= 1024 and lq % 512 == 0
 
 
-def _flash_block_sizes(b: int, heads: int, lq: int, lk: int):
+def _flash_block_sizes(b: int, heads: int, lq: int, lk: int, dim_head: int = 64):
     """Flash-attention tile sizes. The kernel default (block 512) leaves MXU
     idle time at our shapes (d=64 heads); LB_FLASH_BQ / LB_FLASH_BK override
-    for tuning, measured values become the default."""
+    for tuning, measured values become the default. Wide heads (the VAE's
+    single d=512 head) get smaller tiles — q/k/v blocks scale with d and
+    1024-tiles overflow the 16M VMEM scoped limit."""
     import os
 
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    bq = int(os.environ.get("LB_FLASH_BQ", "0")) or min(1024, lq)
-    bk = int(os.environ.get("LB_FLASH_BK", "0")) or min(1024, lk)
+    default = 1024 if dim_head <= 128 else 512
+    bq = int(os.environ.get("LB_FLASH_BQ", "0")) or min(default, lq)
+    bk = int(os.environ.get("LB_FLASH_BK", "0")) or min(default, lk)
     bq, bk = min(bq, lq), min(bk, lk)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
@@ -359,7 +362,22 @@ class VAEAttention(nn.Module):
         q = dense(c, self.dtype, self.param_dtype, "to_q")(y)
         k = dense(c, self.dtype, self.param_dtype, "to_k")(y)
         v = dense(c, self.dtype, self.param_dtype, "to_v")(y)
-        out = jax.nn.dot_product_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+        L = h * w
+        if _use_flash_attention(L, L, None):
+            # the decoder's single-head attention runs at LATENT resolution —
+            # L = 16384 at 1024² output. The XLA path materializes [B,1,L,L]
+            # logits (1 GB/image); flash keeps it O(L·block)
+            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+            out = flash_attention(
+                q[:, None], k[:, None], v[:, None],
+                causal=False, sm_scale=float(1.0 / (c**0.5)),
+                block_sizes=_flash_block_sizes(b, 1, L, L, dim_head=c),
+            )[:, 0]
+        else:
+            out = jax.nn.dot_product_attention(
+                q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+            ).reshape(b, L, c)
         out = out.reshape(b, h * w, c)
         out = dense(c, self.dtype, self.param_dtype, "to_out_0")(out)
         return out.reshape(b, h, w, c) + residual

@@ -34,10 +34,46 @@ class SchedulerConfig:
     timestep_spacing: str = "leading"  # "leading" | "trailing" | "linspace"
     steps_offset: int = 1
     prediction_type: str = "epsilon"
+    # "euler" (EulerDiscreteScheduler) | "euler_ancestral"
+    # (EulerAncestralDiscreteScheduler). The reference is scheduler-agnostic —
+    # it drives whatever the checkpoint ships (diffusers_holder.py:330,:356);
+    # stable-diffusion-xl-base-1.0 ships Euler, sdxl-turbo ships
+    # EulerAncestral (their scheduler_config.json _class_name).
+    scheduler_type: str = "euler"
 
 
 SDXL_BASE_SCHEDULER = SchedulerConfig(timestep_spacing="leading", steps_offset=1)
-SDXL_TURBO_SCHEDULER = SchedulerConfig(timestep_spacing="trailing", steps_offset=1)
+SDXL_TURBO_SCHEDULER = SchedulerConfig(
+    timestep_spacing="trailing", steps_offset=1, scheduler_type="euler_ancestral"
+)
+# the pre-round-2 turbo default (deterministic Euler on the turbo spacing) —
+# still selectable for ablation
+SDXL_TURBO_EULER_SCHEDULER = SchedulerConfig(timestep_spacing="trailing", steps_offset=1)
+
+_CLASS_NAME_TO_TYPE = {
+    "EulerDiscreteScheduler": "euler",
+    "EulerAncestralDiscreteScheduler": "euler_ancestral",
+}
+
+
+def scheduler_config_from_hf(cfg_json: dict, default: "SchedulerConfig") -> "SchedulerConfig":
+    """Build a SchedulerConfig from a checkpoint's scheduler_config.json —
+    the reference's behavior is defined by this file, not by code."""
+    cls = cfg_json.get("_class_name", "")
+    stype = _CLASS_NAME_TO_TYPE.get(cls)
+    if stype is None:
+        # unknown scheduler class → keep the spec default, which matches the
+        # reference family's shipped configs
+        return default
+    return SchedulerConfig(
+        num_train_timesteps=int(cfg_json.get("num_train_timesteps", 1000)),
+        beta_start=float(cfg_json.get("beta_start", 0.00085)),
+        beta_end=float(cfg_json.get("beta_end", 0.012)),
+        timestep_spacing=str(cfg_json.get("timestep_spacing", default.timestep_spacing)),
+        steps_offset=int(cfg_json.get("steps_offset", 1)),
+        prediction_type=str(cfg_json.get("prediction_type", "epsilon")),
+        scheduler_type=stype,
+    )
 
 
 def _training_sigmas(cfg: SchedulerConfig) -> np.ndarray:
@@ -111,4 +147,43 @@ def euler_step(
     x = sample.astype(jnp.float32)
     eps = model_output.astype(jnp.float32)
     out = x + eps * (sigma_next.astype(jnp.float32) - sigma.astype(jnp.float32))
+    return out.astype(sample.dtype)
+
+
+def ancestral_sigmas(sigma: jax.Array, sigma_next: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(σ_up, σ_down) of EulerAncestralDiscreteScheduler.step:
+
+      σ_up²  = σ_next² · (σ² − σ_next²) / σ²
+      σ_down = sqrt(σ_next² − σ_up²)
+
+    σ_next = 0 (the terminal step) yields σ_up = 0, σ_down = 0.
+    """
+    s2 = sigma.astype(jnp.float32) ** 2
+    sn2 = sigma_next.astype(jnp.float32) ** 2
+    up2 = sn2 * (s2 - sn2) / jnp.maximum(s2, 1e-20)
+    sigma_up = jnp.sqrt(jnp.maximum(up2, 0.0))
+    sigma_down = jnp.sqrt(jnp.maximum(sn2 - up2, 0.0))
+    return sigma_up, sigma_down
+
+
+def euler_ancestral_step(
+    sample: jax.Array,
+    model_output: jax.Array,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """One Euler-ancestral step, epsilon prediction:
+    x + ε̂·(σ_down − σ) + z·σ_up  (z ~ N(0,1)).
+
+    The reference's ancestral noise comes from torch's global RNG and is NOT
+    reproducible across runs (scheduler.step at diffusers_holder.py:356 gets
+    no generator); here `noise` is a caller-supplied deterministic draw so
+    re-running a branch reproduces it exactly (the framework's failure-
+    recovery story relies on branch determinism).
+    """
+    x = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    sigma_up, sigma_down = ancestral_sigmas(sigma, sigma_next)
+    out = x + eps * (sigma_down - sigma.astype(jnp.float32)) + noise.astype(jnp.float32) * sigma_up
     return out.astype(sample.dtype)

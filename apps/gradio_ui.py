@@ -81,18 +81,23 @@ class MultiUserRouter:
         self.nmb_preview_images = nmb_preview_images
         self.list_models = list(engines.keys())
         self.max_users = max_users
+        # guards the sessions dict itself (registration/eviction run on
+        # concurrent server threads; the per-engine locks guard compute)
+        self._sessions_lock = threading.Lock()
 
     def register_new_user(self, model: str, width: int, height: int) -> str:
-        self.user_overflow_protection()
-        user_id = str(uuid.uuid4().hex.upper()[0:8])
-        self.sessions[user_id] = UserSession(model, int(width), int(height), self.nmb_preview_images)
+        with self._sessions_lock:
+            self.user_overflow_protection()
+            user_id = str(uuid.uuid4().hex.upper()[0:8])
+            self.sessions[user_id] = UserSession(model, int(width), int(height), self.nmb_preview_images)
         return user_id
 
     def user_overflow_protection(self):
         """Evict least-recently-active sessions beyond max_users. The
         reference declares this hook but leaves it an empty stub
         (gradio_ui.py:56-57) — here it actually bounds memory: each session
-        holds preview-image paths and keyframe records."""
+        holds preview-image paths and keyframe records. Callers must hold
+        _sessions_lock (register_new_user does)."""
         while len(self.sessions) >= self.max_users:
             oldest = min(self.sessions, key=lambda k: self.sessions[k].last_active)
             s = self.sessions.pop(oldest)
@@ -103,12 +108,20 @@ class MultiUserRouter:
                     pass
             log.info(f"evicted idle session {oldest} (user overflow protection)")
 
+    def _session(self, user_id: str) -> UserSession:
+        """Session lookup that refreshes last_active — EVERY user action
+        counts as activity, not just engine compute (otherwise a user busy
+        curating keyframes looks idle and gets evicted mid-session)."""
+        s = self.sessions[user_id]
+        s.touch()
+        return s
+
     def _engine_for(self, s: UserSession) -> tuple[BlendingEngine, threading.Lock]:
         s.touch()
         return self.engines[s.engine_name], self.locks[s.engine_name]
 
     def compute_imgs(self, user_id: str, prompt: str, negative_prompt: str):
-        s = self.sessions[user_id]
+        s = self._session(user_id)
         be, lock = self._engine_for(s)
         s.prompt, s.negative_prompt = prompt, negative_prompt
         s.list_seeds, s.list_images_preview, s.idx_img_preview_selected = [], [], None
@@ -129,16 +142,16 @@ class MultiUserRouter:
         return s.list_images_preview
 
     def preview_img_selected(self, user_id, data, button):
-        self.sessions[user_id].idx_img_preview_selected = data.index
+        self._session(user_id).idx_img_preview_selected = data.index
 
     def movie_img_selected(self, user_id, data, button):
-        self.sessions[user_id].idx_img_movie_selected = data.index
+        self._session(user_id).idx_img_movie_selected = data.index
 
     def get_list_images_movie(self, user_id):
-        return [e["preview_image"] for e in self.sessions[user_id].data]
+        return [e["preview_image"] for e in self._session(user_id).data]
 
     def add_image_to_video(self, user_id):
-        s = self.sessions[user_id]
+        s = self._session(user_id)
         if s.prompt is None or s.idx_img_preview_selected is None:
             log.warning("no prompt set or no preview selected")
             return self.get_list_images_movie(user_id)
@@ -160,7 +173,7 @@ class MultiUserRouter:
 
     def write_json(self, user_id):
         """Persist the user's movie project (reference gradio_ui.py:168-173)."""
-        s = self.sessions[user_id]
+        s = self._session(user_id)
         if not s.fp_json:
             s.init_new_movie()
         be, _ = self._engine_for(s)
@@ -168,14 +181,14 @@ class MultiUserRouter:
         return s.fp_json
 
     def img_movie_delete(self, user_id):
-        s = self.sessions[user_id]
+        s = self._session(user_id)
         if s.idx_img_movie_selected is not None and 0 <= s.idx_img_movie_selected < len(s.data):
             del s.data[s.idx_img_movie_selected]
             s.idx_img_movie_selected = None
         return self.get_list_images_movie(user_id)
 
     def _swap(self, user_id, offset):
-        s = self.sessions[user_id]
+        s = self._session(user_id)
         i = s.idx_img_movie_selected
         if i is not None and 0 <= i + offset < len(s.data):
             s.data[i], s.data[i + offset] = s.data[i + offset], s.data[i]
@@ -189,7 +202,7 @@ class MultiUserRouter:
         return self._swap(user_id, -1)
 
     def generate_movie(self, user_id, t_per_segment=10.0):
-        s = self.sessions[user_id]
+        s = self._session(user_id)
         be, lock = self._engine_for(s)
         with lock:
             project = s.to_project(be.num_inference_steps)

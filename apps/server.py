@@ -8,7 +8,8 @@ dependency, embeddable behind any frontend or load balancer. The engine
 compute stays safe under concurrency for the same reason the Gradio app
 is: per-user sessions + per-engine locks.
 
-    python apps/server.py --spec tiny-turbo --port 7861
+    python apps/server.py --tiny --port 7861
+    python apps/server.py --snapshots /path/to/sdxl-turbo [...]
 
 Endpoints (all JSON unless noted):
   POST /session   {"model": "...", "width": W, "height": H} → {"user_id"}
@@ -18,7 +19,9 @@ Endpoints (all JSON unless noted):
   POST /reorder   {"user_id", "index", "direction"}        → {"movie": [url...]}
   POST /delete    {"user_id", "index"}                     → {"movie": [url...]}
   POST /movie     {"user_id", "t_per_segment": s}          → {"movie_url", "json_url"}
-  GET  /files/<path>                                        → image/video bytes
+  GET  /files/<token>                                       → image/video bytes
+                  (only files this server handed out resolve — no
+                   directory is ever exposed)
   GET  /health                                              → {"ok", "models"}
 """
 from __future__ import annotations
@@ -37,11 +40,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_handler(router, file_root: str):
-    import tempfile
+    import hashlib
 
-    # previews are written to the system temp dir (gradio_ui.compute_imgs);
-    # movies/jsons land in the cwd — both are legitimate file roots
-    allowed_roots = [os.path.abspath(file_root), os.path.abspath(tempfile.gettempdir())]
+    # Only files this server itself handed out are servable: _file_url
+    # registers the absolute path under an opaque token, and GET /files/
+    # resolves tokens only. Serving whole directories (cwd, the shared
+    # system temp dir) would disclose unrelated files (.git, other
+    # processes' temp artifacts) to any remote client.
+    served: dict[str, str] = {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -57,24 +63,18 @@ def make_handler(router, file_root: str):
 
         def _file_url(self, fp: str) -> str:
             fp = os.path.abspath(fp)
-            for i, root in enumerate(allowed_roots):
-                if fp.startswith(root + os.sep):
-                    return f"/files/{i}/" + urllib.parse.quote(os.path.relpath(fp, root))
-            raise ValueError(f"file outside served roots: {fp}")
+            token = hashlib.sha256(fp.encode()).hexdigest()[:24]
+            served[token] = fp
+            return f"/files/{token}"
 
         def do_GET(self):
             path = urllib.parse.urlparse(self.path).path
             if path == "/health":
                 return self._json(200, {"ok": True, "models": router.list_models})
             if path.startswith("/files/"):
-                rest = urllib.parse.unquote(path[len("/files/"):])
-                idx, _, rel = rest.partition("/")
-                try:
-                    root = allowed_roots[int(idx)]
-                except (ValueError, IndexError):
-                    return self._json(403, {"error": "forbidden"})
-                fp = os.path.abspath(os.path.join(root, rel))
-                if not fp.startswith(root + os.sep):
+                token = urllib.parse.unquote(path[len("/files/"):])
+                fp = served.get(token)
+                if fp is None:
                     return self._json(403, {"error": "forbidden"})
                 if not os.path.isfile(fp):
                     return self._json(404, {"error": "not found"})
@@ -98,10 +98,13 @@ def make_handler(router, file_root: str):
                 return self._json(400, {"error": "bad json"})
             try:
                 if path == "/session":
-                    uid = router.register_new_user(
-                        req.get("model", router.list_models[0]),
-                        int(req.get("width", 512)), int(req.get("height", 512)),
-                    )
+                    model = req.get("model", router.list_models[0])
+                    if model not in router.engines:
+                        return self._json(400, {"error": f"unknown model {model!r}", "models": router.list_models})
+                    # bound dimensions like the Gradio UI sliders (2048 max)
+                    w = min(max(int(req.get("width", 512)), 64), 2048)
+                    h = min(max(int(req.get("height", 512)), 64), 2048)
+                    uid = router.register_new_user(model, w, h)
                     return self._json(200, {"user_id": uid})
                 uid = req.get("user_id")
                 if uid not in router.sessions:
@@ -138,7 +141,8 @@ def make_handler(router, file_root: str):
 
 def serve(router, port: int = 7861, file_root: str | None = None) -> ThreadingHTTPServer:
     """Start the server on a background thread; returns the server object
-    (call .shutdown() to stop). file_root bounds what /files/ may expose."""
+    (call .shutdown() to stop). file_root is informational only — /files/
+    serves exclusively the token-registered files the API handed out."""
     file_root = file_root or os.getcwd()
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(router, file_root))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

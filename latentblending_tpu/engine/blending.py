@@ -141,6 +141,9 @@ class BlendingEngine:
         # deterministic, recommended when no LPIPS weights are available.
         assert similarity_metric in ("lpips", "nlpd")
         self.similarity_metric = similarity_metric
+        # retained so a later apply_config metric switch back to 'lpips'
+        # restores the supplied weights instead of the random stand-in
+        self._lpips_params = lpips_params
         if similarity_metric == "nlpd":
             from latentblending_tpu.models.perceptual import NLPDScorer
 
@@ -228,7 +231,9 @@ class BlendingEngine:
 
                 self.lpips = NLPDScorer(image_hw=(self.dh.height_img, self.dh.width_img))
             else:
-                self.lpips = LPIPSScorer(params=None, image_hw=(self.dh.height_img, self.dh.width_img))
+                self.lpips = LPIPSScorer(
+                    params=self._lpips_params, image_hw=(self.dh.height_img, self.dh.width_img)
+                )
         if cfg.num_inference_steps is not None:
             self.set_num_inference_steps(cfg.num_inference_steps)
         self.set_branching(cfg.depth_strength, cfg.t_compute_max_allowed, cfg.nmb_max_branches)
@@ -417,7 +422,7 @@ class BlendingEngine:
         # ancestral per-step noise (euler_ancestral schedulers) derives from
         # the transition seeds — deterministic re-runs, unlike the
         # reference's global-RNG scheduler noise (dh:356)
-        self.dh.noise_seed_base = (int(self.seed1) * 1_000_003 + int(self.seed2)) & 0x7FFFFFFF
+        self.dh.reset_noise_stream((int(self.seed1) * 1_000_003 + int(self.seed2)) & 0x7FFFFFFF)
 
         ok1 = recycle_img1 and self.tree_latents[0] is not None and len(self.tree_latents[0]) == self.num_inference_steps
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps

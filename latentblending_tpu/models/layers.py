@@ -194,7 +194,7 @@ class Attention(nn.Module):
                 v.transpose(0, 2, 1, 3),
                 causal=False,
                 sm_scale=float(1.0 / (self.dim_head**0.5)),
-                block_sizes=_flash_block_sizes(b, self.heads, lq, lk),
+                block_sizes=_flash_block_sizes(b, self.heads, lq, lk, dim_head=self.dim_head),
             ).transpose(0, 2, 1, 3)
         else:
             bias = None

@@ -109,6 +109,22 @@ def load_lpips_torch_file(path: str) -> dict:
     return convert_lpips_state_dict({k: v.numpy() for k, v in state.items()})
 
 
+def bucketed_pair_call(fn, imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
+    """Pad an image-pair batch up to a power-of-two bucket, apply fn, slice
+    back. Bounds the compiled-variant count to ≤ log2(B)+1 as the tree's
+    gap count grows (shared by LPIPSScorer and NLPDScorer)."""
+    n = imgs_a.shape[0]
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    if bucket != n:
+        pad = bucket - n
+        imgs_a = jnp.concatenate([imgs_a, jnp.repeat(imgs_a[-1:], pad, axis=0)], axis=0)
+        imgs_b = jnp.concatenate([imgs_b, jnp.repeat(imgs_b[-1:], pad, axis=0)], axis=0)
+        return fn(imgs_a, imgs_b)[:n]
+    return fn(imgs_a, imgs_b)
+
+
 class LPIPSScorer:
     """Jitted convenience wrapper: uint8 numpy images → float distance.
 
@@ -139,17 +155,5 @@ class LPIPSScorer:
         return float(self._fn(self.params, self._prep(img_a), self._prep(img_b))[0])
 
     def distance_batch(self, imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
-        """[B,H,W,3] in [-1,1] pairs → [B] distances (stays on device).
-
-        Pairs are padded to a power-of-two bucket so the tree's growing gap
-        count doesn't compile one variant per size (≤ log2(B)+1 variants)."""
-        n = imgs_a.shape[0]
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
-        if bucket != n:
-            pad = bucket - n
-            imgs_a = jnp.concatenate([imgs_a, jnp.repeat(imgs_a[-1:], pad, axis=0)], axis=0)
-            imgs_b = jnp.concatenate([imgs_b, jnp.repeat(imgs_b[-1:], pad, axis=0)], axis=0)
-            return self._fn(self.params, imgs_a, imgs_b)[:n]
-        return self._fn(self.params, imgs_a, imgs_b)
+        """[B,H,W,3] in [-1,1] pairs → [B] distances (stays on device)."""
+        return bucketed_pair_call(lambda a, b: self._fn(self.params, a, b), imgs_a, imgs_b)

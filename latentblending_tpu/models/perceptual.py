@@ -109,22 +109,17 @@ class NLPDScorer:
 
     @staticmethod
     def _prep(img) -> jnp.ndarray:
-        x = jnp.asarray(np.asarray(img), jnp.float32) / 255.0 * 2.0 - 1.0
-        if x.ndim == 3:
-            x = x[None]
-        return x
+        # same uint8→[-1,1] staging as LPIPSScorer (shared implementation)
+        from latentblending_tpu.models.lpips import LPIPSScorer
+
+        return LPIPSScorer._prep(img)
 
     def distance(self, img_a, img_b) -> float:
         return float(nlpd_distance(self._prep(img_a), self._prep(img_b), levels=self.levels)[0])
 
     def distance_batch(self, imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
-        n = imgs_a.shape[0]
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
-        if bucket != n:
-            pad = bucket - n
-            imgs_a = jnp.concatenate([imgs_a, jnp.repeat(imgs_a[-1:], pad, axis=0)], axis=0)
-            imgs_b = jnp.concatenate([imgs_b, jnp.repeat(imgs_b[-1:], pad, axis=0)], axis=0)
-            return nlpd_distance(imgs_a, imgs_b, levels=self.levels)[:n]
-        return nlpd_distance(imgs_a, imgs_b, levels=self.levels)
+        from latentblending_tpu.models.lpips import bucketed_pair_call
+
+        return bucketed_pair_call(
+            lambda a, b: nlpd_distance(a, b, levels=self.levels), imgs_a, imgs_b
+        )

@@ -64,6 +64,14 @@ def scheduler_config_from_hf(cfg_json: dict, default: "SchedulerConfig") -> "Sch
     the reference's behavior is defined by this file, not by code."""
     cls = cfg_json.get("_class_name", "")
     stype = _CLASS_NAME_TO_TYPE.get(cls)
+    pred = str(cfg_json.get("prediction_type", "epsilon"))
+    if pred != "epsilon":
+        # every solver here applies the epsilon update; loading a
+        # v_prediction/sample checkpoint would silently generate garbage
+        raise NotImplementedError(
+            f"prediction_type={pred!r} is not supported (epsilon only); "
+            f"checkpoint scheduler: {cls or '<unknown>'}"
+        )
     if stype is None:
         # unknown scheduler class → keep the spec default, which matches the
         # reference family's shipped configs

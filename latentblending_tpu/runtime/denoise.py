@@ -146,6 +146,10 @@ def denoise_scan(
             new_latents = euler_ancestral_step(latents, eps, sigma, sigma_next, z)
             denoised = old_denoised  # unused carry slot
         elif plan.sched == "dpmpp_2m":
+            # multistep caveat: crossfeed slerps the state BETWEEN steps, so
+            # old_denoised is the pre-perturbation history — the 2nd-order
+            # correction is slightly stale on crossfed branches (the solver
+            # remains stable; worst case it degrades toward 1st-order)
             denoised = latents.astype(jnp.float32) - sigma.astype(jnp.float32) * eps.astype(jnp.float32)
             new_latents = dpmpp_2m_step(
                 latents, denoised, old_denoised, sigma_prev, sigma, sigma_next, use2

@@ -142,8 +142,11 @@ class SDXLHolder:
         # seed base for ancestral per-step noise (euler_ancestral scheduler).
         # The reference draws this from torch's GLOBAL RNG — irreproducible
         # (dh:356 passes no generator); here it is deterministic: the engine
-        # folds the transition seeds in so re-running a branch reproduces it.
+        # folds the transition seeds in (reset_noise_stream) so re-running a
+        # transition reproduces it, while successive denoise calls at the
+        # same injection level still draw DISTINCT noise (call counter).
         self.noise_seed_base = 0
+        self._noise_call = 0
         self.num_inference_steps = 4 if self.is_sdxl_turbo else 30
         self.schedule: SchedulerState = make_schedule(self.spec.scheduler, self.num_inference_steps)
         self.set_dimensions(self.spec.default_size)
@@ -277,6 +280,12 @@ class SDXLHolder:
     def set_num_inference_steps(self, num_inference_steps: int):
         self.num_inference_steps = int(num_inference_steps)
         self.schedule = make_schedule(self.schedule.config, self.num_inference_steps)
+
+    def reset_noise_stream(self, seed_base: int):
+        """Restart the deterministic ancestral-noise stream (call at the top
+        of each transition so re-runs reproduce exactly)."""
+        self.noise_seed_base = int(seed_base)
+        self._noise_call = 0
 
     def set_scheduler_type(self, scheduler_type: str):
         """Switch the solver: 'euler' | 'euler_ancestral' | 'dpmpp_2m'.
@@ -520,12 +529,16 @@ class SDXLHolder:
             guidance_rescale=float(guidance_rescale) if use_cfg else 0.0,
             sched=self.schedule.config.scheduler_type,
         )
-        # per-step ancestral noise keys: deterministic in (seed base,
-        # idx_start) so identical calls reproduce identical trajectories
+        # per-step ancestral noise keys: deterministic in (seed base, call
+        # index) — a transition re-run with the same seeds reproduces every
+        # trajectory, while sibling stems issued as separate calls at the
+        # same injection level (stem_batch=1 / chunked rounds) each get
+        # fresh noise
         step_keys = jax.random.split(
-            jax.random.fold_in(jax.random.PRNGKey(int(self.noise_seed_base)), idx_start),
+            jax.random.fold_in(jax.random.PRNGKey(int(self.noise_seed_base)), self._noise_call),
             plan.exec_steps,
         )
+        self._noise_call += 1
         # warm-plan marker: timing callers must not fold compile time into
         # the per-step estimate that feeds the budget planner
         self.last_run_was_warm = self.runner.is_warm(plan)

@@ -181,9 +181,15 @@ def test_ancestral_denoise_deterministic_and_distinct():
     dh = SDXLHolder.from_random("tiny-ancestral", dtype=jnp.float32)
     te = dh.get_text_embedding("x")
     lat = dh.get_noise(7)
+    dh.reset_noise_stream(0)
     out1 = dh.run_diffusion(te, lat)
+    dh.reset_noise_stream(0)
     out2 = dh.run_diffusion(te, lat)
     np.testing.assert_array_equal(np.asarray(out1[-1]), np.asarray(out2[-1]))
+    # without a stream reset, successive calls draw FRESH noise (sibling
+    # stems issued as separate calls must not be correlated)
+    out3 = dh.run_diffusion(te, lat)
+    assert not np.array_equal(np.asarray(out3[-1]), np.asarray(out2[-1]))
 
     dh_e = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
     out_e = dh_e.run_diffusion(te, lat)

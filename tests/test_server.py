@@ -89,3 +89,19 @@ def test_file_escape_forbidden(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/files/../../etc/passwd")
     assert e.value.code in (400, 403, 404)
+
+
+def test_unknown_model_400(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/session", {"model": "bogus"})
+    assert e.value.code == 400
+
+
+def test_unregistered_file_token_403(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/files/deadbeefdeadbeefdeadbeef")
+    assert e.value.code == 403

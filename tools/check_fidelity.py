@@ -124,6 +124,11 @@ def self_check(args):
         dh = SDXLHolder.from_pretrained(args.snapshot)
     else:
         dh = SDXLHolder.from_random(args.spec, dtype=jnp.bfloat16 if args.spec.startswith("sdxl") else jnp.float32)
+    # this measures PLACEMENT-POLICY drift; under euler_ancestral the two
+    # runs would also differ by per-call solver noise (batched = 1 call,
+    # sequential = k calls) — force the deterministic solver for an
+    # apples-to-apples comparison
+    dh.set_scheduler_type("euler")
 
     def run(stem_batch):
         be = BlendingEngine(dh, stem_batch=stem_batch, similarity_metric="nlpd")

@@ -1,6 +1,10 @@
 """Chained multi-prompt movie (reference example_multi_trans.py): K prompts,
 latent recycling between consecutive transitions, parts concatenated."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 

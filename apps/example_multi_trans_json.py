@@ -2,6 +2,10 @@
 settings header at data[0], then per-keyframe prompt/negative/seed records —
 the same files the Gradio UI writes."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 

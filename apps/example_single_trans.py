@@ -6,6 +6,10 @@ Weightless dev/demo run (tiny random model, CPU-friendly):
     python apps/example_single_trans.py --tiny
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax.numpy as jnp
@@ -20,6 +24,15 @@ def main():
     p.add_argument("--tiny", action="store_true", help="tiny random model (no weights needed)")
     p.add_argument("--out", type=str, default="movie_example1.mp4")
     p.add_argument("--duration", type=float, default=12.0)
+    p.add_argument(
+        "--scheduler", default=None, choices=["euler", "euler_ancestral", "dpmpp_2m"],
+        help="override the checkpoint's solver (dpmpp_2m: ~same quality at half the steps)",
+    )
+    p.add_argument("--steps", type=int, default=None, help="num_inference_steps override")
+    p.add_argument(
+        "--similarity_metric", default="lpips", choices=["lpips", "nlpd"],
+        help="branch-placement metric (nlpd needs no learned weights)",
+    )
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
@@ -37,7 +50,11 @@ def main():
     else:
         dh = SDXLHolder.from_pretrained(args.snapshot)
 
-    be = BlendingEngine(dh)
+    if args.scheduler:
+        dh.set_scheduler_type(args.scheduler)
+    be = BlendingEngine(dh, similarity_metric=args.similarity_metric)
+    if args.steps:
+        be.set_num_inference_steps(args.steps)
     be.set_prompt1("underwater landscape, fish, und the sea, incredible detail, high resolution")
     be.set_prompt2("rendering of an alien planet, strange plants, strange creatures, surreal")
     be.set_negative_prompt("blurry, ugly, pale")

@@ -14,8 +14,11 @@ lazily and gives a clear error otherwise.
 from __future__ import annotations
 
 import argparse
-import datetime
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import datetime
 import tempfile
 import threading
 import time

@@ -19,6 +19,8 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--out", type=str, default="movie_example2.mp4")
     p.add_argument("--duration_single_trans", type=float, default=10.0)
+    p.add_argument("--scheduler", default=None, choices=["euler", "euler_ancestral", "dpmpp_2m"])
+    p.add_argument("--similarity_metric", default="lpips", choices=["lpips", "nlpd"])
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
@@ -28,7 +30,9 @@ def main():
         dh = SDXLHolder.from_pretrained(args.snapshot)
         size, steps = (1024, 1024), 30 if not dh.is_sdxl_turbo else 4
 
-    be = BlendingEngine(dh)
+    if args.scheduler:
+        dh.set_scheduler_type(args.scheduler)
+    be = BlendingEngine(dh, similarity_metric=args.similarity_metric)
 
     prompts = [
         "photo of a house, high detail",

@@ -20,7 +20,7 @@ def main():
     p.add_argument("--out", type=str, default="movie_example2.mp4")
     p.add_argument("--duration_single_trans", type=float, default=10.0)
     p.add_argument("--scheduler", default=None, choices=["euler", "euler_ancestral", "dpmpp_2m"])
-    p.add_argument("--similarity_metric", default="lpips", choices=["lpips", "nlpd"])
+    p.add_argument("--similarity_metric", default=None, choices=["lpips", "nlpd"])
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax.numpy as jnp
+import numpy as np
 
 from latentblending_tpu.engine.blending import BlendingEngine
 from latentblending_tpu.runtime.holder import SDXLHolder
@@ -30,9 +31,17 @@ def main():
     )
     p.add_argument("--steps", type=int, default=None, help="num_inference_steps override")
     p.add_argument(
-        "--similarity_metric", default="lpips", choices=["lpips", "nlpd"],
-        help="branch-placement metric (nlpd needs no learned weights)",
+        "--similarity_metric", default=None, choices=["lpips", "nlpd"],
+        help="branch-placement metric (default: nlpd unless LPIPS weights are supplied)",
     )
+    # real-image keyframes (beyond-reference capability: the reference
+    # stores these images but never uses them, blending_engine.py:231-245;
+    # here they are VAE-encoded into a forward-noised trajectory and pinned
+    # as tree edges — see BlendingEngine.set_keyframe1_image)
+    p.add_argument("--image1", type=str, default=None,
+                   help="PNG/JPG to pin as the FIRST keyframe (photo → prompt2 transition)")
+    p.add_argument("--image2", type=str, default=None,
+                   help="PNG/JPG to pin as the SECOND keyframe (prompt1 → photo transition)")
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
@@ -59,8 +68,22 @@ def main():
     be.set_prompt2("rendering of an alien planet, strange plants, strange creatures, surreal")
     be.set_negative_prompt("blurry, ugly, pale")
 
+    recycle1 = recycle2 = False
+    if args.image1:
+        from PIL import Image
+
+        be.set_keyframe1_image(np.asarray(Image.open(args.image1).convert("RGB")))
+        recycle1 = True
+        print(f"keyframe 1 pinned to {args.image1}")
+    if args.image2:
+        from PIL import Image
+
+        be.set_keyframe2_image(np.asarray(Image.open(args.image2).convert("RGB")))
+        recycle2 = True
+        print(f"keyframe 2 pinned to {args.image2}")
+
     t0 = time.time()
-    be.run_transition(fixed_seeds=[420, 421])
+    be.run_transition(recycle_img1=recycle1, recycle_img2=recycle2, fixed_seeds=[420, 421])
     print(f"transition computed in {time.time() - t0:.2f}s "
           f"({len(be.tree_final_imgs)} keyframes)")
     be.write_movie_transition(args.out, duration_transition=args.duration)

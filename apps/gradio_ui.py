@@ -40,6 +40,10 @@ class UserSession:
 
     def __init__(self, engine_name: str, width: int, height: int, nmb_preview_images: int = 4):
         self.engine_name = engine_name
+        # unique per-session tag: two users rendering in the same minute
+        # must never share an output path (the reference's bare
+        # movie_{%y%m%d_%H%M} naming collides under concurrent serving)
+        self.session_tag = uuid.uuid4().hex[:8]
         self.width = width
         self.height = height
         self.nmb_preview_images = nmb_preview_images
@@ -61,8 +65,8 @@ class UserSession:
 
     def init_new_movie(self):
         stamp = datetime.datetime.now().strftime("%y%m%d_%H%M")
-        self.fp_movie = f"movie_{stamp}.mp4"
-        self.fp_json = f"movie_{stamp}.json"
+        self.fp_movie = f"movie_{self.session_tag}_{stamp}.mp4"
+        self.fp_json = f"movie_{self.session_tag}_{stamp}.json"
 
     def to_project(self, num_inference_steps: int) -> MovieProject:
         return MovieProject(
@@ -104,7 +108,13 @@ class MultiUserRouter:
         while len(self.sessions) >= self.max_users:
             oldest = min(self.sessions, key=lambda k: self.sessions[k].last_active)
             s = self.sessions.pop(oldest)
-            for fp in s.list_images_preview:
+            # previews + rendered movie/json are per-session files (unique
+            # session_tag) — removing them on eviction bounds disk use on
+            # long-uptime servers; nothing else can reference them once the
+            # session (and its serving tokens) are gone
+            for fp in s.list_images_preview + [s.fp_movie, s.fp_json]:
+                if not fp:
+                    continue
                 try:
                     os.remove(fp)
                 except OSError:

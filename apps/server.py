@@ -39,15 +39,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_handler(router, file_root: str):
-    import hashlib
+def make_handler(router, file_root: str, max_tokens_per_user: int = 256):
+    import collections
+    import secrets
 
     # Only files this server itself handed out are servable: _file_url
-    # registers the absolute path under an opaque token, and GET /files/
-    # resolves tokens only. Serving whole directories (cwd, the shared
-    # system temp dir) would disclose unrelated files (.git, other
-    # processes' temp artifacts) to any remote client.
-    served: dict[str, str] = {}
+    # registers the absolute path under an opaque RANDOM token (a
+    # deterministic path hash would be precomputable by a remote client —
+    # advisor r2), and GET /files/ resolves live-session tokens only.
+    # Serving whole directories (cwd, the shared system temp dir) would
+    # disclose unrelated files (.git, other processes' temp artifacts).
+    served: dict[str, tuple[str, str]] = {}  # token -> (user_id, abspath)
+    user_tokens: dict[str, collections.deque] = {}
+    served_lock = threading.Lock()
+
+    def _register(fp: str, uid: str) -> str:
+        with served_lock:
+            # drop registrations owned by evicted sessions (keeps the
+            # registry bounded by live sessions × per-user cap)
+            dead = [u for u in user_tokens if u not in router.sessions]
+            for u in dead:
+                for tok in user_tokens.pop(u):
+                    served.pop(tok, None)
+            token = secrets.token_urlsafe(18)
+            served[token] = (uid, os.path.abspath(fp))
+            q = user_tokens.setdefault(uid, collections.deque())
+            q.append(token)
+            while len(q) > max_tokens_per_user:
+                served.pop(q.popleft(), None)
+        return token
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -61,11 +81,8 @@ def make_handler(router, file_root: str):
             self.end_headers()
             self.wfile.write(body)
 
-        def _file_url(self, fp: str) -> str:
-            fp = os.path.abspath(fp)
-            token = hashlib.sha256(fp.encode()).hexdigest()[:24]
-            served[token] = fp
-            return f"/files/{token}"
+        def _file_url(self, fp: str, uid: str) -> str:
+            return f"/files/{_register(fp, uid)}"
 
         def do_GET(self):
             path = urllib.parse.urlparse(self.path).path
@@ -73,9 +90,10 @@ def make_handler(router, file_root: str):
                 return self._json(200, {"ok": True, "models": router.list_models})
             if path.startswith("/files/"):
                 token = urllib.parse.unquote(path[len("/files/"):])
-                fp = served.get(token)
-                if fp is None:
+                entry = served.get(token)
+                if entry is None or entry[0] not in router.sessions:
                     return self._json(403, {"error": "forbidden"})
+                fp = entry[1]
                 if not os.path.isfile(fp):
                     return self._json(404, {"error": "not found"})
                 ctype = "video/mp4" if fp.endswith(".mp4") else "image/jpeg"
@@ -111,26 +129,26 @@ def make_handler(router, file_root: str):
                     return self._json(404, {"error": "unknown user_id"})
                 if path == "/previews":
                     imgs = router.compute_imgs(uid, req.get("prompt", ""), req.get("negative_prompt", ""))
-                    return self._json(200, {"images": [self._file_url(f) for f in imgs]})
+                    return self._json(200, {"images": [self._file_url(f, uid) for f in imgs]})
                 if path == "/select":
                     router.preview_img_selected(uid, types.SimpleNamespace(index=int(req["index"])), None)
                     return self._json(200, {"ok": True})
                 if path == "/keyframe":
                     movie = router.add_image_to_video(uid)
-                    return self._json(200, {"movie": [self._file_url(f) for f in movie]})
+                    return self._json(200, {"movie": [self._file_url(f, uid) for f in movie]})
                 if path == "/reorder":
                     router.movie_img_selected(uid, types.SimpleNamespace(index=int(req["index"])), None)
                     fn = router.img_movie_later if req.get("direction", "later") == "later" else router.img_movie_earlier
-                    return self._json(200, {"movie": [self._file_url(f) for f in fn(uid)]})
+                    return self._json(200, {"movie": [self._file_url(f, uid) for f in fn(uid)]})
                 if path == "/delete":
                     router.movie_img_selected(uid, types.SimpleNamespace(index=int(req["index"])), None)
-                    return self._json(200, {"movie": [self._file_url(f) for f in router.img_movie_delete(uid)]})
+                    return self._json(200, {"movie": [self._file_url(f, uid) for f in router.img_movie_delete(uid)]})
                 if path == "/movie":
                     fp_movie = router.generate_movie(uid, float(req.get("t_per_segment", 10.0)))
                     s = router.sessions[uid]
                     return self._json(200, {
-                        "movie_url": self._file_url(fp_movie),
-                        "json_url": self._file_url(s.fp_json) if os.path.isfile(s.fp_json) else None,
+                        "movie_url": self._file_url(fp_movie, uid),
+                        "json_url": self._file_url(s.fp_json, uid) if os.path.isfile(s.fp_json) else None,
                     })
                 return self._json(404, {"error": "not found"})
             except (KeyError, ValueError, AssertionError) as e:

@@ -20,10 +20,8 @@ Configs (BASELINE.json):
 Weights: random-initialized full architecture (2.6B-param UNet, real
 VAE/CLIP towers). Throughput is weight-value independent, so the perf
 numbers are faithful; set LB_SNAPSHOT=/path/to/snapshot to bench real
-weights. NOTE (fidelity): with random weights the LPIPS metric uses the
-random-feature stand-in (models/lpips.py) — gap *ranking* drives branch
-placement as in the reference, but absolute LPIPS values are NOT
-comparable to the lpips package's.
+weights. Without LPIPS weights the engine defaults to the deterministic
+weight-free NLPD metric for branch placement (models/perceptual.py).
 
 MFU: denoise-phase FLOPs come from XLA's cost_analysis on every compiled
 denoise executable (runtime/denoise.py DenoiseRunner.plan_flops);
@@ -101,16 +99,16 @@ def main():
     setup_s = time.time() - t_setup
 
     # warm-up: compile every denoise/decode/fill-up variant the run uses
-    be.run_transition(fixed_seeds=[420, 421])
-    be.write_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=DURATION_S, fps=FPS)
+    be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=DURATION_S, fps=FPS, fixed_seeds=[420, 421])
 
+    # fused transition+write (run_movie_transition): encoding overlaps the
+    # keyframe device→host copies and the final similarity pass
     fp_movie = "/tmp/lb_bench_movie.mp4"
     flops0 = dh.runner.executed_flops
     t0 = time.time()
-    be.run_transition(fixed_seeds=[420, 421])
-    t_transition = time.time() - t0
-    be.write_movie_transition(fp_movie, duration_transition=DURATION_S, fps=FPS)
+    be.run_movie_transition(fp_movie, duration_transition=DURATION_S, fps=FPS, fixed_seeds=[420, 421])
     wall = time.time() - t0
+    t_transition = wall - (be.last_report.phases or {}).get("movie_write", {}).get("total_s", 0.0)
 
     denoise_flops = dh.runner.executed_flops - flops0
     denoise_wall = (be.last_report.phases or {}).get("denoise", {}).get("total_s", 0.0)
@@ -162,7 +160,8 @@ def main():
             "device": str(jax.devices()[0]),
             "n_devices": len(jax.devices()),
             "mesh": str(dict(mesh.shape)) if mesh is not None else None,
-            "weights": "snapshot" if snapshot else "random-init (LPIPS = random-feature stand-in; see BENCH.md)",
+            "weights": "snapshot" if snapshot else "random-init",
+            "similarity_metric": be.similarity_metric,
         },
     }
     print(json.dumps(result))

@@ -74,9 +74,6 @@ class _PendingImage:
         self.batch = batch
         self.row = row
 
-    def resolve(self) -> np.ndarray:
-        return np.asarray(self.batch)[self.row]
-
 
 class BlendingEngine:
     def __init__(
@@ -90,7 +87,7 @@ class BlendingEngine:
         run_benchmark: bool | None = None,
         cost_model: str = "batched",
         config: "EngineConfig | None" = None,
-        similarity_metric: str = "lpips",
+        similarity_metric: str | None = None,
     ):
         assert 0.0 < guidance_scale_mid_damper <= 1.0, (
             f"guidance_scale_mid_damper needs to be in interval (0,1], you provided {guidance_scale_mid_damper}"
@@ -138,7 +135,11 @@ class BlendingEngine:
         # similarity_metric: 'lpips' (reference parity; needs real weights
         # for the reference's exact gap ranking) or 'nlpd' — a published
         # weight-free perceptual metric (models/perceptual.py), fully
-        # deterministic, recommended when no LPIPS weights are available.
+        # deterministic. Default (None): 'lpips' when weights are supplied,
+        # else 'nlpd' — a principled metric beats the random-feature LPIPS
+        # stand-in whenever real weights are absent (VERDICT r2 task 4).
+        if similarity_metric is None:
+            similarity_metric = "lpips" if lpips_params is not None else "nlpd"
         assert similarity_metric in ("lpips", "nlpd")
         self.similarity_metric = similarity_metric
         # retained so a later apply_config metric switch back to 'lpips'
@@ -151,10 +152,10 @@ class BlendingEngine:
         else:
             if lpips_params is None:
                 log.warning(
-                    "LPIPS weights not supplied — using the random-feature "
-                    "stand-in (valid for relative gap ranking only). For a "
-                    "deterministic principled metric without weights, pass "
-                    "similarity_metric='nlpd'."
+                    "similarity_metric='lpips' requested without weights — "
+                    "using the random-feature stand-in (valid for relative "
+                    "gap ranking only). Omit similarity_metric (or pass "
+                    "'nlpd') for the deterministic weight-free metric."
                 )
             self.lpips = LPIPSScorer(params=lpips_params, image_hw=(self.dh.height_img, self.dh.width_img))
 
@@ -223,7 +224,7 @@ class BlendingEngine:
         self.stem_batch = cfg.stem_batch
         assert cfg.cost_model in ("batched", "reference")
         self.cost_model = cfg.cost_model
-        if cfg.similarity_metric != self.similarity_metric:
+        if cfg.similarity_metric is not None and cfg.similarity_metric != self.similarity_metric:
             assert cfg.similarity_metric in ("lpips", "nlpd")
             self.similarity_metric = cfg.similarity_metric
             if cfg.similarity_metric == "nlpd":
@@ -406,6 +407,22 @@ class BlendingEngine:
     ):
         """Compute the keyframe transition (reference blending_engine.py:295-365).
         Returns the list of keyframe images."""
+        self._run_transition_core(recycle_img1, recycle_img2, fixed_seeds)
+        self._resolve_keyframes()
+        self._finalize_report()
+        return self.tree_final_imgs
+
+    def _run_transition_core(
+        self,
+        recycle_img1: Optional[bool] = False,
+        recycle_img2: Optional[bool] = False,
+        fixed_seeds: Optional[List[int]] = None,
+    ):
+        """Everything up to (excluding) keyframe resolution: on exit the tree
+        is FINAL but tree_final_imgs may hold _PendingImage handles whose
+        uint8 copies are still streaming device→host, and the last round's
+        gap similarities may still be computing on device (_sims_pending) —
+        both report-only at that point (placement never consumes them)."""
         assert self.text_embedding1 is not None, "Set the first text embedding with .set_prompt1(...) before"
         assert self.text_embedding2 is not None, "Set the second text embedding with .set_prompt2(...) before"
 
@@ -452,9 +469,12 @@ class BlendingEngine:
         self._imgs_dev = [edge_pm1[0], edge_pm1[1]]
         self.tree_idx_injection = [0, 0]
         self.tree_similarities = self._batched_similarities()
+        self._sims_pending = None
+        self._t_run0 = t_run0
 
         stem_batch = self.stem_batch
-        for s_idx in range(len(self.list_idx_injection)):
+        n_levels = len(self.list_idx_injection)
+        for s_idx in range(n_levels):
             nmb_stems = self.list_nmb_stems[s_idx]
             idx_injection = self.list_idx_injection[s_idx]
             batch = nmb_stems if stem_batch == 0 else stem_batch
@@ -462,15 +482,21 @@ class BlendingEngine:
             done = 0
             while done < nmb_stems:
                 k = min(batch, nmb_stems - done)
-                self._run_stem_round(k, idx_injection)
+                # the LAST round's similarities are report-only (no further
+                # placement consumes them) — leave them on device so callers
+                # can overlap output work with the LPIPS compute + transfers
+                is_last = s_idx == n_levels - 1 and done + k >= nmb_stems
+                self._run_stem_round(k, idx_injection, defer_sims=is_last)
                 done += k
             self.last_report.levels.append(
                 {"idx_injection": int(idx_injection), "stems": int(nmb_stems), "wall_s": round(time.time() - t_lvl, 3)}
             )
 
-        # resolve the uint8 keyframes whose copies streamed behind compute
-        # (one host conversion per shared batch, not per keyframe)
-        batch_cache: dict[int, np.ndarray] = {}
+    def _resolve_keyframes(self, batch_cache: Optional[dict] = None):
+        """Materialize every pending uint8 keyframe (one host conversion per
+        shared device batch, not per keyframe); copies already fetched into
+        batch_cache (by the streaming movie writer) are reused as-is."""
+        batch_cache = {} if batch_cache is None else batch_cache
         resolved = []
         for im in self.tree_final_imgs:
             if isinstance(im, _PendingImage):
@@ -482,11 +508,16 @@ class BlendingEngine:
             else:
                 resolved.append(im)
         self.tree_final_imgs = resolved
+
+    def _finalize_report(self):
+        if getattr(self, "_sims_pending", None) is not None:
+            with self.timer.phase("lpips_sync"):
+                self.tree_similarities = [float(x) for x in self._sims_pending]
+            self._sims_pending = None
         self.last_report.num_keyframes = len(self.tree_final_imgs)
         self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
         self.last_report.phases = self.timer.summary()
-        self.last_report.wall_s = time.time() - t_run0
-        return self.tree_final_imgs
+        self.last_report.wall_s = time.time() - self._t_run0
 
     # ------------------------------------------------- edge (keyframe) paths
 
@@ -595,9 +626,11 @@ class BlendingEngine:
         zero = jnp.zeros_like(entries[-1][0])
         return jnp.stack([(zero if entries[i] is None else entries[i][0]) for i in range(N)], axis=0)
 
-    def _run_stem_round(self, k: int, idx_injection: int):
+    def _run_stem_round(self, k: int, idx_injection: int, defer_sims: bool = False):
         """Plan, compute and insert k sibling stems as one batched denoise +
-        decode + LPIPS round."""
+        decode + LPIPS round. With defer_sims the gap-similarity pass is
+        dispatched but left on device (_sims_pending) — only valid for the
+        final round, whose similarities no placement decision consumes."""
         N = self.num_inference_steps
         timer = getattr(self, "timer", None) or PhaseTimer()
         placements = self._plan_placements(k, idx_injection)
@@ -659,7 +692,10 @@ class BlendingEngine:
                 self._imgs_dev.insert(idx_insert, imgs_pm1[i])
                 self.tree_fracts.insert(idx_insert, fract_mixing)
                 self.tree_idx_injection.insert(idx_insert, idx_injection)
-            self.tree_similarities = self._batched_similarities()
+            if defer_sims:
+                self._sims_pending = self._dispatch_similarities()
+            else:
+                self.tree_similarities = self._batched_similarities()
 
     def insert_into_tree(self, fract_mixing, idx_injection, list_latents, img_insert=None):
         """Sorted insert + incremental similarity update (reference
@@ -790,6 +826,67 @@ class BlendingEngine:
         ms.finalize()
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
 
+    def run_movie_transition(
+        self,
+        fp_movie: str,
+        duration_transition: float,
+        fps: int = 30,
+        recycle_img1: Optional[bool] = False,
+        recycle_img2: Optional[bool] = False,
+        fixed_seeds: Optional[List[int]] = None,
+    ):
+        """Fused transition + movie write — the TPU fast path.
+
+        The reference strictly serializes run_transition → fill-up → write
+        (reference blending_engine.py:684-706): nothing encodes until every
+        keyframe is on the host. Here the encoder starts as soon as the
+        FIRST keyframe's device batch lands: frame lerping/encoding of early
+        gaps overlaps (a) the device→host uint8 copies of later keyframe
+        batches and (b) the final round's gap-similarity pass, which is
+        report-only and stays on device until after the movie is written.
+        Frame output is identical to the two-call path (byte-compared in
+        tests/test_streaming_movie.py). Returns the keyframe list like
+        run_transition."""
+        import os
+
+        from latentblending_tpu.video.frames import (
+            add_frames_linear_interp_device,
+            stream_frames_lazy,
+        )
+        from latentblending_tpu.video.writer import MovieSaver
+
+        self._run_transition_core(recycle_img1, recycle_img2, fixed_seeds)
+        target = int(round(fps * duration_transition))
+        batch_cache: dict[int, np.ndarray] = {}
+
+        def resolve(im):
+            if not isinstance(im, _PendingImage):
+                return np.asarray(im)
+            arr = batch_cache.get(id(im.batch))
+            if arr is None:
+                with self.timer.phase("keyframe_fetch"):
+                    arr = np.asarray(im.batch)
+                batch_cache[id(im.batch)] = arr
+            return arr[im.row]
+
+        with self.timer.phase("movie_write"):
+            if os.environ.get("LB_DEVICE_FILLUP") == "1":
+                # device fill-up needs every keyframe resolved first — no
+                # overlap, but the lerp math rides the accelerator (right
+                # trade on fast-link TPU-VMs; see write_movie_transition)
+                self._resolve_keyframes(batch_cache)
+                frames = add_frames_linear_interp_device(self.tree_final_imgs, target)
+            else:
+                frames = stream_frames_lazy(self.tree_final_imgs, target, resolve)
+            ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
+            for img in frames:
+                ms.write_frame(img)
+            ms.finalize()
+        log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
+        self._resolve_keyframes(batch_cache)
+        self._finalize_report()
+        return self.tree_final_imgs
+
     def get_state_dict(self) -> dict:
         state_dict = {}
         grab_vars = [
@@ -826,13 +923,19 @@ class BlendingEngine:
     def get_lpips_similarity(self, imgA, imgB) -> float:
         return self.lpips.distance(imgA, imgB)
 
-    def _batched_similarities(self) -> list[float]:
-        """All adjacent-keyframe LPIPS distances in one device call."""
+    def _dispatch_similarities(self):
+        """Dispatch all adjacent-keyframe distances as ONE device call;
+        returns the un-synced device array (None when <2 keyframes)."""
         if len(self._imgs_dev) < 2:
-            return []
+            return None
         a = jnp.stack(self._imgs_dev[:-1])
         b = jnp.stack(self._imgs_dev[1:])
-        return [float(x) for x in self.lpips.distance_batch(a, b)]
+        return self.lpips.distance_batch(a, b)
+
+    def _batched_similarities(self) -> list[float]:
+        """All adjacent-keyframe LPIPS distances in one device call."""
+        d = self._dispatch_similarities()
+        return [] if d is None else [float(x) for x in d]
 
     def get_tree_similarities(self) -> list[float]:
         if len(self._imgs_dev) == len(self.tree_final_imgs) and len(self._imgs_dev) >= 2:

@@ -42,7 +42,10 @@ class EngineConfig:
     # TPU-build execution knobs (no reference counterpart)
     stem_batch: int = 0          # 0 = whole level per batch; 1 = reference policy
     cost_model: str = "batched"  # 'batched' | 'reference' planner calibration
-    similarity_metric: str = "lpips"  # 'lpips' (reference) | 'nlpd' (weight-free)
+    # 'lpips' (reference; needs weights) | 'nlpd' (weight-free) | None → keep
+    # the engine's current metric (which itself defaults to lpips-with-weights
+    # else nlpd)
+    similarity_metric: Optional[str] = None
 
     @classmethod
     def defaults(cls, is_sdxl_turbo: bool) -> "EngineConfig":

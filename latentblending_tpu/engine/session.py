@@ -112,8 +112,12 @@ def run_multi_transition(
             recycle_img1 = True
 
         fp_part = os.path.join(workdir, f"tmp_part_{str(i).zfill(3)}.mp4")
-        be.run_transition(recycle_img1=recycle_img1, fixed_seeds=[kfs[i].seed, kfs[i + 1].seed])
-        be.write_movie_transition(fp_part, duration_single_trans, fps=fps)
+        # fused transition+write: encoding overlaps the keyframe transfers
+        # and the final similarity pass (see run_movie_transition)
+        be.run_movie_transition(
+            fp_part, duration_single_trans, fps=fps,
+            recycle_img1=recycle_img1, fixed_seeds=[kfs[i].seed, kfs[i + 1].seed],
+        )
         list_parts.append(fp_part)
         log.info(f"transition {i + 1}/{len(kfs) - 1} done")
 

@@ -17,8 +17,9 @@ local amplitude, compared level-by-level. It correlates strongly with
 human judgments (and with LPIPS) on distortion benchmarks, and is fully
 deterministic — the same keyframe gap ranking on every machine.
 
-Usage: BlendingEngine(..., similarity_metric="nlpd"). The default remains
-"lpips" for reference parity when real weights are supplied.
+Usage: this is the engine DEFAULT whenever no LPIPS weights are supplied
+(similarity_metric=None resolves to "nlpd" without weights, "lpips" with);
+pass similarity_metric="lpips" explicitly to force the reference metric.
 """
 from __future__ import annotations
 

@@ -72,6 +72,20 @@ def scheduler_config_from_hf(cfg_json: dict, default: "SchedulerConfig") -> "Sch
             f"prediction_type={pred!r} is not supported (epsilon only); "
             f"checkpoint scheduler: {cls or '<unknown>'}"
         )
+    # same guard philosophy for the σ-table knobs: the tables below are
+    # hard-coded scaled_linear/non-Karras — a checkpoint shipping anything
+    # else would load onto a silently-wrong trajectory
+    beta_schedule = str(cfg_json.get("beta_schedule", "scaled_linear"))
+    if beta_schedule != "scaled_linear":
+        raise NotImplementedError(
+            f"beta_schedule={beta_schedule!r} is not supported (scaled_linear only); "
+            f"checkpoint scheduler: {cls or '<unknown>'}"
+        )
+    if cfg_json.get("use_karras_sigmas"):
+        raise NotImplementedError(
+            "use_karras_sigmas=true is not supported (the σ table is the "
+            f"scaled_linear train grid); checkpoint scheduler: {cls or '<unknown>'}"
+        )
     if stype is None:
         # unknown scheduler class → keep the spec default, which matches the
         # reference family's shipped configs

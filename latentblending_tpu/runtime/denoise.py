@@ -160,6 +160,15 @@ def denoise_scan(
         return (new_latents, denoised), new_latents
 
     if step_keys is None:
+        # ancestral plans consume the keys — a fixed default would silently
+        # correlate the noise of every call (the exact failure mode the
+        # holder's noise-stream design prevents); deterministic solvers
+        # ignore them, so a placeholder is fine there
+        if plan.sched == "euler_ancestral":
+            raise ValueError(
+                "plan.sched='euler_ancestral' requires explicit step_keys "
+                "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
+            )
         step_keys = jax.random.split(jax.random.PRNGKey(0), M)
     sigma_w = jax.lax.dynamic_slice_in_dim(sig, i0, M)
     sigma_next_w = jax.lax.dynamic_slice_in_dim(sig, i0 + 1, M)
@@ -235,6 +244,11 @@ class DenoiseRunner:
         is still recorded per plan in plan_flops for reference."""
         self._executed.add(plan)
         if step_keys is None:
+            if plan.sched == "euler_ancestral":
+                raise ValueError(
+                    "plan.sched='euler_ancestral' requires explicit step_keys "
+                    "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
+                )
             step_keys = jax.random.split(jax.random.PRNGKey(0), plan.exec_steps)
         kwargs = dict(
             latents_start=latents_start, cond=cond, mix_window=mix_window,
@@ -258,9 +272,19 @@ class DenoiseRunner:
         self.executed_flops += flops if flops is not None else self.plan_flops.get(plan, 0.0)
         try:
             return compiled(params, **kwargs)
-        except (TypeError, ValueError):
+        except (TypeError, ValueError) as e:
             # aval/sharding drift vs the lowered signature — fall back to the
-            # jit cache (re-specializes) rather than failing the run
+            # jit cache (re-specializes) rather than failing the run, but
+            # LOUDLY: silent re-specialization could mask a layout bug
+            import logging
+
+            avals = jax.tree_util.tree_map(
+                lambda x: getattr(x, "aval", None) and str(x.aval), kwargs
+            )
+            logging.getLogger(__name__).warning(
+                "AOT executable rejected its arguments for plan %s (%s); "
+                "re-specializing via jit. arg avals: %s", plan, e, avals
+            )
             return self._get_jitted(plan)(params, **kwargs)
 
 

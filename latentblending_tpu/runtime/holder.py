@@ -220,8 +220,6 @@ class SDXLHolder:
             "clip1": load_clip(snapshot_dir, "text_encoder", dtype),
             "clip2": load_clip(snapshot_dir, "text_encoder_2", dtype),
         }
-        pass  # os imported at module level
-
         tok1 = tok2 = None
         if os.path.isdir(os.path.join(snapshot_dir, "tokenizer")):
             tok1 = CLIPTokenizer.from_dir(os.path.join(snapshot_dir, "tokenizer"))
@@ -235,8 +233,6 @@ class SDXLHolder:
         """Persist converted params with orbax so HF→flax conversion is paid
         once (no reference counterpart — weights there reload via diffusers
         every process start)."""
-        pass  # os imported at module level
-
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
@@ -245,8 +241,6 @@ class SDXLHolder:
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, spec: ModelSpec | str, dtype=jnp.bfloat16, **kw):
-        pass  # os imported at module level
-
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
@@ -319,8 +313,6 @@ class SDXLHolder:
         5.1 GB bf16 UNet + text towers the decode peak must fit in HBM)."""
         if self._decode_chunk_override is not None:
             return self._decode_chunk_override
-        pass  # os imported at module level
-
         env = os.environ.get("LB_DECODE_CHUNK")
         if env:
             return max(1, int(env))

@@ -42,6 +42,44 @@ def fillup_plan(nmb_keyframes: int, nmb_frames_target: int) -> tuple[np.ndarray,
     return np.asarray(left, np.int32), np.asarray(fract, np.float32)
 
 
+def stream_frames_lazy(handles: list, nmb_frames_target: int, resolve):
+    """Streaming fill-up over LAZILY-resolved keyframes.
+
+    `resolve(handle) -> uint8 HWC array` is called the first time a keyframe
+    is needed, strictly left-to-right — so when keyframes are still
+    materializing (device→host copies in flight), frame lerping and encoding
+    of earlier gaps overlap the transfers of later ones. This is the engine
+    of BlendingEngine.run_movie_transition's compute/write pipeline.
+
+    One reused output buffer (zero per-frame allocation); the yielded array
+    is reused — consumers must copy if they retain it. Frame values are
+    identical to the eager path by construction (same plan, same lerp).
+    """
+    K = len(handles)
+    if nmb_frames_target <= K:
+        for h in handles:
+            yield np.ascontiguousarray(np.asarray(resolve(h)), dtype=np.uint8)
+        return
+    counts = frame_insert_counts(K, nmb_frames_target)
+    cur = np.ascontiguousarray(np.asarray(resolve(handles[0])), dtype=np.uint8)
+    buf = np.empty_like(cur)
+    cur_f = None if _native_lerp_into is not None else cur.astype(np.float32)
+    for i in range(K - 1):
+        nxt = np.ascontiguousarray(np.asarray(resolve(handles[i + 1])), dtype=np.uint8)
+        yield cur
+        fracts = np.linspace(0, 1, counts[i] + 2)[1:-1]
+        if _native_lerp_into is not None:
+            for f in fracts:
+                yield _native_lerp_into(cur, nxt, float(f), buf)
+        else:
+            nxt_f = nxt.astype(np.float32)
+            for f in fracts:
+                yield _lerp_u8(cur_f, nxt_f, float(f))
+            cur_f = nxt_f
+        cur = nxt
+    yield cur
+
+
 def stream_frames_linear_interp(list_imgs: list, nmb_frames_target: int):
     """Generator over interpolated frames using ONE reused output buffer.
 
@@ -50,23 +88,7 @@ def stream_frames_linear_interp(list_imgs: list, nmb_frames_target: int):
     pages are expensive (the 360-frame list costs ~283MB of fresh pages).
     The yielded array is reused — consumers must copy if they retain it.
     """
-    imgs = [np.ascontiguousarray(np.asarray(im), dtype=np.uint8) for im in list_imgs]
-    K = len(imgs)
-    if nmb_frames_target <= K:
-        yield from imgs
-        return
-    counts = frame_insert_counts(K, nmb_frames_target)
-    buf = np.empty_like(imgs[0])
-    imgs_f = None if _native_lerp_into is not None else [im.astype(np.float32) for im in imgs]
-    for i in range(K - 1):
-        yield imgs[i]
-        fracts = np.linspace(0, 1, counts[i] + 2)[1:-1]
-        for f in fracts:
-            if _native_lerp_into is not None:
-                yield _native_lerp_into(imgs[i], imgs[i + 1], float(f), buf)
-            else:
-                yield _lerp_u8(imgs_f[i], imgs_f[i + 1], float(f))
-    yield imgs[-1]
+    yield from stream_frames_lazy(list_imgs, nmb_frames_target, lambda im: im)
 
 
 def add_frames_linear_interp_device(

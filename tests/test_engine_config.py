@@ -65,11 +65,19 @@ def test_config_similarity_metric_roundtrip():
     from latentblending_tpu.models.perceptual import NLPDScorer
     from latentblending_tpu.runtime.holder import SDXLHolder
 
+    from latentblending_tpu.models.lpips import LPIPSScorer
+
     dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
     be = BlendingEngine(dh, run_benchmark=False)
     cfg = be.get_config()
-    assert cfg.similarity_metric == "lpips"
-    cfg.similarity_metric = "nlpd"
-    be.apply_config(cfg)
+    # weight-free default is the principled metric, not the LPIPS stand-in
+    assert cfg.similarity_metric == "nlpd"
     assert isinstance(be.lpips, NLPDScorer)
-    assert be.get_config().similarity_metric == "nlpd"
+    cfg.similarity_metric = "lpips"
+    be.apply_config(cfg)
+    assert isinstance(be.lpips, LPIPSScorer)
+    assert be.get_config().similarity_metric == "lpips"
+    # None in a config keeps the current metric
+    cfg.similarity_metric = None
+    be.apply_config(cfg)
+    assert be.get_config().similarity_metric == "lpips"

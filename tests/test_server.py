@@ -8,6 +8,8 @@ import urllib.request
 import jax.numpy as jnp
 import pytest
 
+_ROUTER = None  # set by the server fixture (used to reach session state)
+
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
@@ -25,6 +27,8 @@ def server(tmp_path_factory):
     be = BlendingEngine(dh, run_benchmark=False)
     be.set_branching(nmb_max_branches=2)
     router = G.MultiUserRouter({"tiny-turbo": be}, nmb_preview_images=2)
+    global _ROUTER
+    _ROUTER = router
     httpd = S.serve(router, port=0, file_root=str(workdir))
     # port=0 → OS-assigned; read it back
     port = httpd.server_address[1]
@@ -104,4 +108,37 @@ def test_unregistered_file_token_403(server):
 
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/files/deadbeefdeadbeefdeadbeef")
+    assert e.value.code == 403
+
+
+def test_tokens_are_random_not_path_hashes(server):
+    """A remote client must not be able to precompute tokens from paths
+    (advisor r2): the old sha256(abspath)[:24] token of a served file must
+    NOT resolve, and re-registering the same file yields a fresh URL."""
+    import hashlib
+    import urllib.error
+
+    uid = _post(server, "/session", {"model": "tiny-turbo", "width": 128, "height": 128})["user_id"]
+    r = _post(server, "/previews", {"user_id": uid, "prompt": "a beach", "negative_prompt": ""})
+    url = r["images"][0]
+    fp = _ROUTER.sessions[uid].list_images_preview[0]
+    hash_token = hashlib.sha256(os.path.abspath(fp).encode()).hexdigest()[:24]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, f"/files/{hash_token}")
+    assert e.value.code == 403
+    # second registration of the same prompt/session yields different URLs
+    r2 = _post(server, "/previews", {"user_id": uid, "prompt": "a beach", "negative_prompt": ""})
+    assert url != r2["images"][0]
+
+
+def test_evicted_session_tokens_stop_resolving(server):
+    import urllib.error
+
+    uid = _post(server, "/session", {"model": "tiny-turbo", "width": 128, "height": 128})["user_id"]
+    r = _post(server, "/previews", {"user_id": uid, "prompt": "a cave", "negative_prompt": ""})
+    url = r["images"][0]
+    _get(server, url)  # resolves while the session lives
+    _ROUTER.sessions.pop(uid)  # what user_overflow_protection does
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, url)
     assert e.value.code == 403

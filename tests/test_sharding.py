@@ -160,6 +160,102 @@ def test_holder_mesh_sharded_run():
     )
 
 
+def _denoise_compiled(dh):
+    """The (single) AOT-compiled denoise executable of a holder."""
+    compiled = list(dh.runner._compiled.values())
+    assert len(compiled) == 1, f"expected exactly one compiled plan, got {len(compiled)}"
+    return compiled[0]
+
+
+def _run_once(mesh, B=8, spec="tiny-turbo"):
+    import jax.numpy as jnp
+
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    dh = SDXLHolder.from_random(spec, seed=0, dtype=jnp.float32, mesh=mesh)
+    te = dh.get_text_embedding("test")
+    lat = jnp.concatenate([dh.get_noise(i) for i in range(B)], axis=0)
+    traj = dh.run_diffusion_batched(dh._conditioning(te, B), lat)
+    jax.block_until_ready(traj)
+    return dh, traj
+
+
+def test_hlo_dp_input_shard_shapes():
+    """Compiled-property evidence (VERDICT r2 task 6): under the dp-8 mesh
+    the denoise executable's batched inputs are REALLY partitioned 1/8th
+    per device — asserted on the executable's input shardings, not just on
+    output values."""
+    mesh = make_mesh()  # data=8, model=1
+    dh, traj = _run_once(mesh, B=8)
+    compiled = _denoise_compiled(dh)
+    in_shardings = jax.tree_util.tree_leaves(
+        compiled.input_shardings, is_leaf=lambda x: hasattr(x, "shard_shape")
+    )
+    # the executable must take ≥4 inputs partitioned over 'data' (latents,
+    # prompt/pooled embeds, time_ids, guidance, mix window/coeffs …)
+    data_split = [
+        sh for sh in in_shardings
+        if "data" in str(getattr(sh, "spec", ""))
+    ]
+    assert len(data_split) >= 4, (
+        f"only {len(data_split)} executable inputs partitioned over 'data': "
+        f"{[str(getattr(s, 'spec', s)) for s in in_shardings[:8]]}"
+    )
+    # concrete per-device shard shape: the [8,h,w,4] latents input must
+    # split 8 → 1 per device over the batch axis
+    lat_shard = [
+        sh.shard_shape((8, 16, 16, 4))
+        for sh in data_split
+        if str(getattr(sh, "spec", "")).startswith("PartitionSpec('data'")
+    ]
+    assert lat_shard and all(s[0] == 1 for s in lat_shard), lat_shard
+    # and the trajectory output is likewise partitioned over 'data'
+    assert traj.sharding.shard_shape(traj.shape)[1] == 1
+
+
+def test_hlo_tp_no_full_param_allgather_in_scan():
+    """Under dp×tp (4×2), the Megatron sharding must hold INSIDE the scan:
+    no all-gather in the compiled HLO may materialize a full-size copy of
+    any TP-sharded parameter (that would silently degrade TP to replicated
+    compute + per-step gather traffic)."""
+    import re
+
+    from flax.traverse_util import flatten_dict
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dh, _ = _run_once(mesh, B=4)
+    compiled = _denoise_compiled(dh)
+
+    # full (unsharded) byte sizes of every TP-sharded param
+    tp_param_bytes = []
+    for k, v in flatten_dict(dh.params["unet"]).items():
+        spec = getattr(getattr(v, "sharding", None), "spec", None)
+        if spec is not None and "model" in str(spec):
+            tp_param_bytes.append(v.nbytes)
+    assert tp_param_bytes, "no TP-sharded params — TP not applied"
+    smallest_tp_param = min(tp_param_bytes)
+
+    hlo = compiled.as_text()
+    # each all-gather's output: 'f32[...]{...} all-gather(' — parse the
+    # result shape to bytes
+    sizes = []
+    for m in re.finditer(r"(\w+)\[([\d,]*)\][^=]*\ball-gather\(", hlo):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in ("f32", "bf16", "f16", "s32", "u32", "f64"):
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        bpe = {"f32": 4, "s32": 4, "u32": 4, "f64": 8}.get(dt, 2)
+        sizes.append(n * bpe)
+    biggest_gather = max(sizes) if sizes else 0
+    assert biggest_gather < smallest_tp_param, (
+        f"an all-gather materializes {biggest_gather}B ≥ smallest TP param "
+        f"{smallest_tp_param}B — full-param gather inside the executable"
+    )
+
+
 def test_ancestral_denoise_sharded_matches_unsharded():
     """EulerAncestral's in-scan PRNG noise must be identical whether the
     stem batch is sharded over the mesh 'data' axis or not (threefry

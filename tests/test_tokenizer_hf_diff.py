@@ -122,8 +122,21 @@ def _build_files(tmpdir: str):
 
 @pytest.fixture(scope="module")
 def toks(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("clip_tok"))
-    vp, mp, vocab = _build_files(d)
+    real_dir = os.environ.get("LB_REAL_TOKENIZER_DIR")
+    if real_dir:
+        # weights-day mode (tools/fidelity_day.sh): diff against the REAL
+        # 49,408-entry CLIP vocab/merges from a checkpoint snapshot
+        vp = os.path.join(real_dir, "vocab.json")
+        mp = os.path.join(real_dir, "merges.txt")
+        assert os.path.isfile(vp) and os.path.isfile(mp), (
+            f"LB_REAL_TOKENIZER_DIR={real_dir} must contain vocab.json + merges.txt"
+        )
+        with open(vp) as f:
+            vocab = json.load(f)
+        d = real_dir
+    else:
+        d = str(tmp_path_factory.mktemp("clip_tok"))
+        vp, mp, vocab = _build_files(d)
     ours = CLIPTokenizer.from_dir(d)
     hf_slow = transformers.CLIPTokenizer(vp, mp)
     try:

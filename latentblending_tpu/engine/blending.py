@@ -663,21 +663,38 @@ class BlendingEngine:
                 cond, latents_start, idx_start=idx_injection, mix_traj=mix_traj,
                 mixing_coeffs=coeffs, guidance_scale=guidance,
             )  # [N - idx_injection, k, h, w, 4]
-            jax.block_until_ready(traj)
+            # block_until_ready is unreliable on async relay transports —
+            # force a one-element host copy as a real data dependency so the
+            # phase boundary is honest
+            _sync(traj)
 
+        order = sorted(range(k), key=lambda i: placements[i][0])
         # batched decode of the k final latents (kept on device for LPIPS)
         with timer.phase("vae_decode"):
             imgs_pm1 = self.dh.decode_to_pm1_batched(traj[-1])
             u8_dev = self.dh.to_uint8_device(imgs_pm1)
-            try:
-                u8_dev.copy_to_host_async()  # overlap transfer with LPIPS
-            except Exception:
-                pass
+            # uint8 copies stream behind the remaining device work, in
+            # CHUNKS ordered by fract: the streaming movie writer consumes
+            # keyframes left-to-right, so splitting the transfer lets frame
+            # encoding of early gaps overlap the copies of later ones
+            # (single-chunk behavior with LB_FETCH_CHUNK >= k)
+            import os
+
+            csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
+            chunk_of: dict[int, tuple[jax.Array, int]] = {}
+            for j0 in range(0, k, csize):
+                rows = order[j0 : j0 + csize]
+                chunk = u8_dev if rows == list(range(k)) else u8_dev[jnp.asarray(rows)]
+                try:
+                    chunk.copy_to_host_async()
+                except Exception:
+                    pass
+                for r, i in enumerate(rows):
+                    chunk_of[i] = (chunk, r)
 
         # insert in fract order; all gap similarities recomputed in ONE
         # batched LPIPS pass (identical values to the reference's
         # incremental updates — LPIPS is deterministic per pair)
-        order = sorted(range(k), key=lambda i: placements[i][0])
         M = N - idx_injection
         with timer.phase("lpips_insert"):
             for i in order:
@@ -686,14 +703,19 @@ class BlendingEngine:
                 b_parent1, _ = get_closest_idx(fract_mixing, self.tree_fracts)
                 idx_insert = b_parent1 + 1
                 self.tree_latents.insert(idx_insert, list_latents)
-                # uint8 copy keeps streaming behind the remaining compute;
-                # resolved at the end of run_transition
-                self.tree_final_imgs.insert(idx_insert, _PendingImage(u8_dev, i))
+                self.tree_final_imgs.insert(idx_insert, _PendingImage(*chunk_of[i]))
                 self._imgs_dev.insert(idx_insert, imgs_pm1[i])
                 self.tree_fracts.insert(idx_insert, fract_mixing)
                 self.tree_idx_injection.insert(idx_insert, idx_injection)
             if defer_sims:
                 self._sims_pending = self._dispatch_similarities()
+                if self._sims_pending is not None:
+                    try:
+                        # start the (tiny) result transfer now so the float
+                        # conversion at report finalize is instant
+                        self._sims_pending.copy_to_host_async()
+                    except Exception:
+                        pass
             else:
                 self.tree_similarities = self._batched_similarities()
 

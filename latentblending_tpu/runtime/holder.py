@@ -167,7 +167,13 @@ class SDXLHolder:
 
     @classmethod
     def from_random(cls, spec: ModelSpec | str = "tiny-turbo", seed: int = 0, dtype=jnp.bfloat16, **kw):
-        """Random-weight holder (structure-true): dev/bench without checkpoints."""
+        """Random-weight holder (structure-true): dev/bench without checkpoints.
+
+        The four tower inits run as ONE jitted program each: eager flax init
+        dispatches every param tensor separately — ~1,700 round-trips on a
+        relay transport ≈ 0.2 s each = 5-6 min of process setup (measured,
+        BENCH.md round 3). Jitted, init is one dispatch and the compiled
+        program lands in the persistent compilation cache."""
         spec = spec if isinstance(spec, ModelSpec) else SPECS[spec]
         keys = jax.random.split(jax.random.PRNGKey(seed), 4)
         unet = UNet2DCondition(spec.unet, dtype=dtype, param_dtype=dtype)
@@ -175,20 +181,20 @@ class SDXLHolder:
         ctx_dim = spec.unet.cross_attention_dim
         pooled_dim = spec.clip2.projection_dim or spec.clip2.hidden_size
         with jax.default_device(jax.devices()[0]):
-            unet_params = unet.init(
+            unet_params = jax.jit(unet.init)(
                 keys[0], jnp.zeros((1, h, h, 4), dtype), jnp.float32(0.0),
                 jnp.zeros((1, 77, ctx_dim), dtype), jnp.zeros((1, pooled_dim), dtype), jnp.zeros((1, 6), dtype),
             )["params"]
             vae = VAE(spec.vae, dtype=jnp.float32, param_dtype=jnp.float32)
-            vae_params = vae.init(
-                keys[1], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 64, 64, 3)), method=VAE.full
+            vae_params = jax.jit(functools.partial(vae.init, method=VAE.full))(
+                keys[1], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 64, 64, 3))
             )["params"]
             # CLIP params stored bf16 (halves the ~3.3GB f32 tower footprint;
             # compute stays f32 via module dtype — promotion at use)
             clip1 = CLIPTextEncoder(spec.clip1, param_dtype=dtype)
-            clip1_params = clip1.init(keys[2], jnp.zeros((1, 77), jnp.int32))["params"]
+            clip1_params = jax.jit(clip1.init)(keys[2], jnp.zeros((1, 77), jnp.int32))["params"]
             clip2 = CLIPTextEncoder(spec.clip2, param_dtype=dtype)
-            clip2_params = clip2.init(keys[3], jnp.zeros((1, 77), jnp.int32))["params"]
+            clip2_params = jax.jit(clip2.init)(keys[3], jnp.zeros((1, 77), jnp.int32))["params"]
         params = {"unet": unet_params, "vae": vae_params, "clip1": clip1_params, "clip2": clip2_params}
         return cls(spec, params, dtype=dtype, **kw)
 

@@ -512,7 +512,9 @@ class BlendingEngine:
     def _finalize_report(self):
         if getattr(self, "_sims_pending", None) is not None:
             with self.timer.phase("lpips_sync"):
-                self.tree_similarities = [float(x) for x in self._sims_pending]
+                # ONE host copy — per-element float() would pay a relay
+                # round-trip per gap (~0.05 s each, measured)
+                self.tree_similarities = np.asarray(self._sims_pending, np.float64).tolist()
             self._sims_pending = None
         self.last_report.num_keyframes = len(self.tree_final_imgs)
         self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
@@ -830,7 +832,7 @@ class BlendingEngine:
             add_frames_linear_interp_device,
             stream_frames_linear_interp,
         )
-        from latentblending_tpu.video.writer import MovieSaver
+        from latentblending_tpu.video.writer import MovieSaver, write_frames
 
         target = int(round(fps * duration_transition))
         # Default: streaming host fill-up (native SIMD kernel, one reused
@@ -843,8 +845,7 @@ class BlendingEngine:
         else:
             imgs = stream_frames_linear_interp(self.tree_final_imgs, target)
         ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
-        for img in imgs:
-            ms.write_frame(img)
+        write_frames(ms, imgs)
         ms.finalize()
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
 
@@ -875,7 +876,7 @@ class BlendingEngine:
             add_frames_linear_interp_device,
             stream_frames_lazy,
         )
-        from latentblending_tpu.video.writer import MovieSaver
+        from latentblending_tpu.video.writer import MovieSaver, write_frames
 
         self._run_transition_core(recycle_img1, recycle_img2, fixed_seeds)
         target = int(round(fps * duration_transition))
@@ -901,8 +902,7 @@ class BlendingEngine:
             else:
                 frames = stream_frames_lazy(self.tree_final_imgs, target, resolve)
             ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
-            for img in frames:
-                ms.write_frame(img)
+            write_frames(ms, frames)
             ms.finalize()
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
         self._resolve_keyframes(batch_cache)
@@ -957,7 +957,7 @@ class BlendingEngine:
     def _batched_similarities(self) -> list[float]:
         """All adjacent-keyframe LPIPS distances in one device call."""
         d = self._dispatch_similarities()
-        return [] if d is None else [float(x) for x in d]
+        return [] if d is None else np.asarray(d, np.float64).tolist()
 
     def get_tree_similarities(self) -> list[float]:
         if len(self._imgs_dev) == len(self.tree_final_imgs) and len(self._imgs_dev) >= 2:
@@ -966,7 +966,7 @@ class BlendingEngine:
             return []
         a = jnp.stack([self.lpips._prep(im)[0] for im in self.tree_final_imgs[:-1]])
         b = jnp.stack([self.lpips._prep(im)[0] for im in self.tree_final_imgs[1:]])
-        return [float(x) for x in self.lpips.distance_batch(a, b)]
+        return np.asarray(self.lpips.distance_batch(a, b), np.float64).tolist()
 
     def get_closest_idx(self, fract_mixing: float):
         return get_closest_idx(fract_mixing, self.tree_fracts)

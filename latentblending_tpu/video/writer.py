@@ -133,6 +133,66 @@ class MovieSaver:
             raise RuntimeError(f"movie file {self.fp_movie} was not written")
 
 
+def write_frames(ms: MovieSaver, frames, threaded: bool | None = None) -> None:
+    """Feed an iterable of (possibly reused) frame buffers to a MovieSaver.
+
+    threaded=None → auto: pipeline frame PRODUCTION (host lerp, device
+    fetch waits) with ENCODING on a consumer thread when the host has spare
+    cores (cv2/ffmpeg encode releases the GIL, so this is real overlap).
+    Single-core hosts run inline — the two stages would just contend.
+    LB_WRITER_THREAD=1/0 forces the choice. Frames are copied into a small
+    rotating buffer pool before queueing because producers reuse their
+    output buffer; the pool (4) exceeds max frames in flight (queue 2 +
+    consumer 1), so no queued frame is ever overwritten."""
+    if threaded is None:
+        env = os.environ.get("LB_WRITER_THREAD")
+        if env is not None:
+            threaded = env == "1"
+        else:
+            threaded = (os.cpu_count() or 1) > 2
+    if not threaded:
+        for img in frames:
+            ms.write_frame(img)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    errs: list[BaseException] = []
+
+    def _consume():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                ms.write_frame(item)
+        except BaseException as e:  # propagate to the producer
+            errs.append(e)
+            while q.get() is not None:  # drain so the producer never blocks
+                pass
+
+    th = threading.Thread(target=_consume, daemon=True)
+    th.start()
+    pool: list[np.ndarray] = []
+    i = 0
+    for frame in frames:
+        if errs:
+            break
+        frame = np.asarray(frame)
+        if len(pool) < 4:
+            pool.append(np.empty_like(frame))
+        buf = pool[i % 4]
+        i += 1
+        np.copyto(buf, frame)
+        q.put(buf)
+    q.put(None)
+    th.join()
+    if errs:
+        raise errs[0]
+
+
 def read_movie_frames(fp_movie: str) -> list[np.ndarray]:
     """Decode an mp4 back to a list of uint8 RGB frames (cv2)."""
     import cv2

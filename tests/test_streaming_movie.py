@@ -89,6 +89,44 @@ def test_fused_movie_report_complete(engine, tmp_path):
     assert all(np.asarray(im).dtype == np.uint8 for im in engine.tree_final_imgs)
 
 
+def test_threaded_writer_identical(tmp_path, monkeypatch):
+    """write_frames' consumer-thread pipeline (multi-core hosts) must write
+    the same movie as the inline path, including with producers that reuse
+    their output buffer."""
+    from latentblending_tpu.video.writer import MovieSaver, write_frames
+
+    rng = np.random.default_rng(1)
+    keys = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(4)]
+
+    def frames():
+        # reused-buffer producer like stream_frames_lazy
+        yield from stream_frames_linear_interp(keys, 40)
+
+    fp_a, fp_b = str(tmp_path / "inline.mp4"), str(tmp_path / "threaded.mp4")
+    monkeypatch.setenv("LB_WRITER_THREAD", "0")
+    ms = MovieSaver(fp_a, fps=10, shape_hw=(32, 32))
+    write_frames(ms, frames())
+    ms.finalize()
+    monkeypatch.setenv("LB_WRITER_THREAD", "1")
+    ms = MovieSaver(fp_b, fps=10, shape_hw=(32, 32))
+    write_frames(ms, frames())
+    ms.finalize()
+    fa, fb = read_movie_frames(fp_a), read_movie_frames(fp_b)
+    assert len(fa) == len(fb) == 40
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_threaded_writer_propagates_errors(tmp_path, monkeypatch):
+    from latentblending_tpu.video.writer import MovieSaver, write_frames
+
+    monkeypatch.setenv("LB_WRITER_THREAD", "1")
+    ms = MovieSaver(str(tmp_path / "bad.mp4"), fps=10, shape_hw=(32, 32))
+    bad = [np.zeros((32, 32, 3), np.uint8), np.zeros((16, 16, 3), np.uint8)]
+    with pytest.raises(ValueError):
+        write_frames(ms, iter(bad))
+
+
 def test_run_transition_still_finalizes(engine):
     """The refactored run_transition (core + resolve + finalize) keeps its
     public contract: resolved uint8 keyframes + complete report."""

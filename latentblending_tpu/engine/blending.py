@@ -28,6 +28,7 @@ Architectural departures (documented; SURVEY.md §7):
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional
 
@@ -73,6 +74,18 @@ class _PendingImage:
     def __init__(self, batch, row: int):
         self.batch = batch
         self.row = row
+
+
+def resolve_image(im, batch_cache: dict) -> np.ndarray:
+    """Materialize a keyframe handle: one host conversion per shared device
+    batch (cached in batch_cache), pass-through for plain arrays."""
+    if not isinstance(im, _PendingImage):
+        return np.asarray(im)
+    arr = batch_cache.get(id(im.batch))
+    if arr is None:
+        arr = np.asarray(im.batch)
+        batch_cache[id(im.batch)] = arr
+    return arr[im.row]
 
 
 class BlendingEngine:
@@ -436,6 +449,8 @@ class BlendingEngine:
         t_run0 = time.time()
         self.timer = PhaseTimer()
         self.last_report = TransitionReport(num_steps=self.num_inference_steps)
+        self._sims_pending = None
+        self._t_run0 = t_run0
         # ancestral per-step noise (euler_ancestral schedulers) derives from
         # the transition seeds — deterministic re-runs, unlike the
         # reference's global-RNG scheduler noise (dh:356)
@@ -443,6 +458,26 @@ class BlendingEngine:
 
         ok1 = recycle_img1 and self.tree_latents[0] is not None and len(self.tree_latents[0]) == self.num_inference_steps
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps
+
+        if (
+            not ok1 and not ok2
+            and self.branch1_crossfeed_power == 0.0
+            and self.stem_batch == 0
+            and len(self.list_idx_injection) == 1
+            and int(self.list_nmb_stems[0]) >= 1
+            and self.list_idx_injection[0] >= 1
+            and self.dh.mesh is None
+            and self.dh.schedule.config.scheduler_type != "dpmpp_2m"
+            and os.environ.get("LB_FUSED") != "0"
+        ):
+            # FUSED single-call transition (denoise_scan_tree): one device
+            # dispatch computes both edges and every stem. Valid because a
+            # single level growing from a single gap has a similarity-value-
+            # independent placement order; dpmpp_2m is excluded (its
+            # 2nd-order history would span the pre-injection junk steps)
+            # and mesh runs keep the per-level sharded path.
+            self._run_transition_fused()
+            return
 
         if ok1 and ok2:
             list_latents1, list_latents2 = self.tree_latents[0], self.tree_latents[-1]
@@ -469,8 +504,6 @@ class BlendingEngine:
         self._imgs_dev = [edge_pm1[0], edge_pm1[1]]
         self.tree_idx_injection = [0, 0]
         self.tree_similarities = self._batched_similarities()
-        self._sims_pending = None
-        self._t_run0 = t_run0
 
         stem_batch = self.stem_batch
         n_levels = len(self.list_idx_injection)
@@ -520,6 +553,112 @@ class BlendingEngine:
         self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
         self.last_report.phases = self.timer.summary()
         self.last_report.wall_s = time.time() - self._t_run0
+
+    def _run_transition_fused(self):
+        """The whole single-level transition as ONE device call.
+
+        denoise_scan_tree computes the two edge trajectories and all k stems
+        in one batched scan: stem rows are pinned to the live parental mix
+        of the edge rows at their injection step (crossfeed coefficient 1.0)
+        and follow the parental crossfeed schedule after — per-stem results
+        are identical to the per-level path for deterministic solvers
+        (tested, tests/test_fused_tree.py). Cuts the per-transition dispatch
+        chain from 2+ denoise calls + 2 decode batches to 1 + 1."""
+        N = self.num_inference_steps
+        idx_injection = int(self.list_idx_injection[0])
+        k = int(self.list_nmb_stems[0])
+
+        # plan against the virgin two-edge tree (a previous transition may
+        # have left a full tree on this engine); placement order comes from
+        # predicted bisection of the single gap — value-independent, so no
+        # measurement is needed before planning
+        self.tree_fracts = [0.0, 1.0]
+        self.tree_idx_injection = [0, 0]
+        self.tree_similarities = [1.0]
+        placements = self._plan_placements(k, idx_injection)
+        fracts = [f for f, _, _ in placements]
+        B = 2 + k
+
+        noise1, noise2 = self.get_noise(self.seed1), self.get_noise(self.seed2)
+        # stem rows need a FINITE placeholder state for their pre-injection
+        # steps (outputs discarded at the pin); parent-1's start is free
+        lat0 = jnp.concatenate([noise1, noise2] + [noise1] * k, axis=0)
+        cond = self._stack_conditionings([0.0, 1.0] + fracts)
+        guidance = jnp.asarray(
+            [self._guidance_at(f) for f in [0.0, 1.0] + fracts], jnp.float32
+        )
+        parent_idx = np.zeros((B, 2), np.int32)
+        parent_idx[0] = (0, 0)
+        parent_idx[1] = (1, 1)
+        parent_fract = np.zeros((B,), np.float32)
+        for r, (f, b1, b2) in enumerate(placements):
+            # single-level plan: parents are tree rows 0/1 == batch rows 0/1
+            parent_idx[2 + r] = (b1, b2)
+            parent_fract[2 + r] = (f - self.tree_fracts[b1]) / (
+                self.tree_fracts[b2] - self.tree_fracts[b1]
+            )
+        base = parental_crossfeed_coeffs(
+            N, idx_injection, self.parental_crossfeed_power,
+            self.parental_crossfeed_range, self.parental_crossfeed_decay,
+        )
+        coeffs = np.zeros((N, B), np.float32)
+        coeffs[:, 2:] = np.asarray(base, np.float32)[:, None]
+        coeffs[:idx_injection, 2:] = 0.0
+        # the pin: slerp fraction 1.0 == start exactly from the parental mix
+        # state idx-1 (the reference's latents_start, blending_engine.py:440)
+        coeffs[idx_injection, 2:] = 1.0
+
+        with self.timer.phase("denoise"):
+            t0 = time.time()
+            traj = self.dh.run_tree_batched(cond, lat0, parent_idx, parent_fract, coeffs, guidance)
+            _sync(traj)
+            if self.dh.last_run_was_warm:
+                self.dt_unet_step = (time.time() - t0) / (N * B)
+
+        # ONE batched decode for edges + stems together
+        sorted_stems = sorted(range(k), key=lambda i: fracts[i])
+        order_rows = [0] + [2 + i for i in sorted_stems] + [1]
+        with self.timer.phase("vae_decode"):
+            pm1 = self.dh.decode_to_pm1_batched(traj[-1])
+            u8 = self.dh.to_uint8_device(pm1)
+            csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
+            chunk_of: dict[int, tuple[jax.Array, int]] = {}
+            for j0 in range(0, B, csize):
+                rows = order_rows[j0 : j0 + csize]
+                chunk = u8[jnp.asarray(rows)]
+                try:
+                    chunk.copy_to_host_async()
+                except Exception:
+                    pass
+                for r, row in enumerate(rows):
+                    chunk_of[row] = (chunk, r)
+
+        M = N - idx_injection
+        list1 = [traj[i, 0:1] for i in range(N)]
+        list2 = [traj[i, 1:2] for i in range(N)]
+        self.tree_latents = (
+            [list1]
+            + [
+                [None] * idx_injection
+                + [traj[idx_injection + j, 2 + i : 3 + i] for j in range(M)]
+                for i in sorted_stems
+            ]
+            + [list2]
+        )
+        self.tree_fracts = [0.0] + [fracts[i] for i in sorted_stems] + [1.0]
+        self.tree_idx_injection = [0] + [idx_injection] * k + [0]
+        self.tree_final_imgs = [_PendingImage(*chunk_of[row]) for row in order_rows]
+        self._imgs_dev = [pm1[row] for row in order_rows]
+        with self.timer.phase("lpips_insert"):
+            self._sims_pending = self._dispatch_similarities()
+            if self._sims_pending is not None:
+                try:
+                    self._sims_pending.copy_to_host_async()
+                except Exception:
+                    pass
+        self.last_report.levels.append(
+            {"idx_injection": idx_injection, "stems": k, "fused": True}
+        )
 
     # ------------------------------------------------- edge (keyframe) paths
 
@@ -883,14 +1022,8 @@ class BlendingEngine:
         batch_cache: dict[int, np.ndarray] = {}
 
         def resolve(im):
-            if not isinstance(im, _PendingImage):
-                return np.asarray(im)
-            arr = batch_cache.get(id(im.batch))
-            if arr is None:
-                with self.timer.phase("keyframe_fetch"):
-                    arr = np.asarray(im.batch)
-                batch_cache[id(im.batch)] = arr
-            return arr[im.row]
+            with self.timer.phase("keyframe_fetch"):
+                return resolve_image(im, batch_cache)
 
         with self.timer.phase("movie_write"):
             if os.environ.get("LB_DEVICE_FILLUP") == "1":

@@ -43,7 +43,7 @@ from latentblending_tpu.ops.scheduler import (
 @dataclasses.dataclass(frozen=True)
 class DenoisePlan:
     """Static compilation key: (num_steps, idx_start, batch, cfg, rescale,
-    sched)."""
+    sched, tree)."""
 
     num_steps: int
     idx_start: int
@@ -55,6 +55,10 @@ class DenoisePlan:
     # or "dpmpp_2m" (DPM-Solver++ 2M — 2nd-order multistep; comparable
     # sample quality at roughly half the steps, a beyond-reference option)
     sched: str = "euler"
+    # tree=True selects denoise_scan_tree: crossfeed targets are slerps of
+    # the CURRENT states of two in-batch parent rows instead of a
+    # precomputed trajectory window (the fused whole-transition scan)
+    tree: bool = False
 
     @property
     def exec_steps(self) -> int:
@@ -95,6 +99,66 @@ def _rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
+def _fold_cfg(plan: DenoisePlan, cond: Conditioning):
+    """Stack (neg, pos) conditioning along batch when CFG is on."""
+    if plan.use_cfg:
+        pe = jnp.concatenate([cond.neg_prompt_embeds, cond.prompt_embeds], axis=0)
+        pool = jnp.concatenate([cond.neg_pooled_embeds, cond.pooled_embeds], axis=0)
+        tids = jnp.concatenate(
+            [cond.neg_time_ids if cond.neg_time_ids is not None else cond.time_ids, cond.time_ids], axis=0
+        )
+        return pe, pool, tids
+    return cond.prompt_embeds, cond.pooled_embeds, cond.time_ids
+
+
+def _eps_and_step(plan, unet_apply, params, pe, pool, tids, guidance_scale,
+                  latents, old_denoised, sigma, sigma_prev, sigma_next, t, key, use2):
+    """One UNet eval (CFG-folded) + one solver update — the shared core of
+    denoise_scan and denoise_scan_tree."""
+    lmi = scale_model_input(latents, sigma)
+    if plan.use_cfg:
+        lmi2 = jnp.concatenate([lmi, lmi], axis=0)
+        eps2 = unet_apply(params, lmi2, t, pe, pool, tids)
+        eps_u, eps_t = jnp.split(eps2, 2, axis=0)
+        g = guidance_scale.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        eps = eps_u.astype(jnp.float32) + g * (eps_t.astype(jnp.float32) - eps_u.astype(jnp.float32))
+        if plan.guidance_rescale > 0.0:
+            eps = _rescale_noise_cfg(eps, eps_t.astype(jnp.float32), plan.guidance_rescale)
+    else:
+        eps = unet_apply(params, lmi, t, pe, pool, tids)
+    if plan.sched == "euler_ancestral":
+        z = jax.random.normal(key, latents.shape, jnp.float32)
+        new_latents = euler_ancestral_step(latents, eps, sigma, sigma_next, z)
+        denoised = old_denoised  # unused carry slot
+    elif plan.sched == "dpmpp_2m":
+        # multistep caveat: crossfeed slerps the state BETWEEN steps, so
+        # old_denoised is the pre-perturbation history — the 2nd-order
+        # correction is slightly stale on crossfed branches (the solver
+        # remains stable; worst case it degrades toward 1st-order)
+        denoised = latents.astype(jnp.float32) - sigma.astype(jnp.float32) * eps.astype(jnp.float32)
+        new_latents = dpmpp_2m_step(latents, denoised, old_denoised, sigma_prev, sigma, sigma_next, use2)
+    else:
+        new_latents = euler_step(latents, eps, sigma, sigma_next)
+        denoised = old_denoised
+    return new_latents, denoised
+
+
+def _step_tables(plan: DenoisePlan, sigmas: jax.Array, timesteps: jax.Array):
+    """Per-executed-step σ/t slices for the scan window."""
+    M = plan.exec_steps
+    i0 = plan.idx_start
+    sig = sigmas.astype(jnp.float32)
+    ts = timesteps.astype(jnp.float32)
+    sigma_w = jax.lax.dynamic_slice_in_dim(sig, i0, M)
+    sigma_next_w = jax.lax.dynamic_slice_in_dim(sig, i0 + 1, M)
+    # σ_{i-1} per executed step (first entry unused — use2 is False there)
+    sigma_prev_w = jnp.take(sig, jnp.clip(i0 + jnp.arange(M) - 1, 0, None))
+    # 2nd-order update applies from the 2nd executed step on, never into σ=0
+    use2_w = (jnp.arange(M) > 0) & (sigma_next_w > 0.0)
+    t_w = jax.lax.dynamic_slice_in_dim(ts, i0, M)
+    return sigma_w, sigma_prev_w, sigma_next_w, t_w, use2_w
+
+
 def denoise_scan(
     unet_apply: Callable,
     params,
@@ -112,51 +176,17 @@ def denoise_scan(
     idx_start..N-1 (the reference's list_latents_out minus the leading
     Nones)."""
     M = plan.exec_steps
-    i0 = plan.idx_start
-    sig = sigmas.astype(jnp.float32)
-    ts = timesteps.astype(jnp.float32)
-
-    if plan.use_cfg:
-        pe = jnp.concatenate([cond.neg_prompt_embeds, cond.prompt_embeds], axis=0)
-        pool = jnp.concatenate([cond.neg_pooled_embeds, cond.pooled_embeds], axis=0)
-        tids = jnp.concatenate(
-            [cond.neg_time_ids if cond.neg_time_ids is not None else cond.time_ids, cond.time_ids], axis=0
-        )
-    else:
-        pe, pool, tids = cond.prompt_embeds, cond.pooled_embeds, cond.time_ids
+    pe, pool, tids = _fold_cfg(plan, cond)
 
     def body(carry, step):
         latents, old_denoised = carry
         m_t, c_t, sigma, sigma_prev, sigma_next, t, key, use2 = step
         # crossfeed slerp — single-pass Pallas kernel on TPU
         latents = slerp_batched_auto(latents, m_t, c_t)
-        lmi = scale_model_input(latents, sigma)
-        if plan.use_cfg:
-            lmi2 = jnp.concatenate([lmi, lmi], axis=0)
-            eps2 = unet_apply(params, lmi2, t, pe, pool, tids)
-            eps_u, eps_t = jnp.split(eps2, 2, axis=0)
-            g = guidance_scale.reshape(-1, 1, 1, 1).astype(jnp.float32)
-            eps = eps_u.astype(jnp.float32) + g * (eps_t.astype(jnp.float32) - eps_u.astype(jnp.float32))
-            if plan.guidance_rescale > 0.0:
-                eps = _rescale_noise_cfg(eps, eps_t.astype(jnp.float32), plan.guidance_rescale)
-        else:
-            eps = unet_apply(params, lmi, t, pe, pool, tids)
-        if plan.sched == "euler_ancestral":
-            z = jax.random.normal(key, latents.shape, jnp.float32)
-            new_latents = euler_ancestral_step(latents, eps, sigma, sigma_next, z)
-            denoised = old_denoised  # unused carry slot
-        elif plan.sched == "dpmpp_2m":
-            # multistep caveat: crossfeed slerps the state BETWEEN steps, so
-            # old_denoised is the pre-perturbation history — the 2nd-order
-            # correction is slightly stale on crossfed branches (the solver
-            # remains stable; worst case it degrades toward 1st-order)
-            denoised = latents.astype(jnp.float32) - sigma.astype(jnp.float32) * eps.astype(jnp.float32)
-            new_latents = dpmpp_2m_step(
-                latents, denoised, old_denoised, sigma_prev, sigma, sigma_next, use2
-            )
-        else:
-            new_latents = euler_step(latents, eps, sigma, sigma_next)
-            denoised = old_denoised
+        new_latents, denoised = _eps_and_step(
+            plan, unet_apply, params, pe, pool, tids, guidance_scale,
+            latents, old_denoised, sigma, sigma_prev, sigma_next, t, key, use2,
+        )
         return (new_latents, denoised), new_latents
 
     if step_keys is None:
@@ -170,22 +200,74 @@ def denoise_scan(
                 "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
             )
         step_keys = jax.random.split(jax.random.PRNGKey(0), M)
-    sigma_w = jax.lax.dynamic_slice_in_dim(sig, i0, M)
-    sigma_next_w = jax.lax.dynamic_slice_in_dim(sig, i0 + 1, M)
-    # σ_{i-1} per executed step (first entry unused — use2 is False there)
-    sigma_prev_w = jnp.take(sig, jnp.clip(i0 + jnp.arange(M) - 1, 0, None))
-    # 2nd-order update applies from the 2nd executed step on, never into σ=0
-    use2_w = (jnp.arange(M) > 0) & (sigma_next_w > 0.0)
-    steps = (
-        mix_window,
-        mix_coeffs,
-        sigma_w,
-        sigma_prev_w,
-        sigma_next_w,
-        jax.lax.dynamic_slice_in_dim(ts, i0, M),
-        step_keys,
-        use2_w,
-    )
+    sigma_w, sigma_prev_w, sigma_next_w, t_w, use2_w = _step_tables(plan, sigmas, timesteps)
+    steps = (mix_window, mix_coeffs, sigma_w, sigma_prev_w, sigma_next_w, t_w, step_keys, use2_w)
+    carry0 = (latents_start, jnp.zeros(latents_start.shape, jnp.float32))
+    (_, _), traj = jax.lax.scan(body, carry0, steps)
+    return traj
+
+
+def denoise_scan_tree(
+    unet_apply: Callable,
+    params,
+    plan: DenoisePlan,
+    latents_start: jax.Array,  # [B, h, w, 4] — row 0..: edges then stems
+    cond: Conditioning,
+    parent_idx: jax.Array,  # [B, 2] int32 — in-batch parent rows (self for edges)
+    parent_fract: jax.Array,  # [B] f32 — parental mix fraction per row
+    mix_coeffs: jax.Array,  # [M, B] crossfeed slerp fraction per step & row
+    sigmas: jax.Array,  # [N+1]
+    timesteps: jax.Array,  # [N]
+    guidance_scale: jax.Array,  # [B]
+    step_keys: Optional[jax.Array] = None,  # [M] PRNG keys (ancestral only)
+) -> jax.Array:
+    """The FUSED single-level tree scan: one device call computes the edge
+    trajectories AND every stem of the level.
+
+    Where denoise_scan consumes a precomputed crossfeed window (parents
+    from earlier calls), here each row's crossfeed target is the parental
+    slerp of the CURRENT states of two other rows in the same batch —
+    mathematically the same target (a parent's scan carry entering step i
+    IS its trajectory entry i-1), with zero extra dispatches. A stem
+    injected at step i0 carries junk for steps < i0 (it evolves from a
+    finite placeholder) and is PINNED at i0 by mix coefficient 1.0: the
+    slerp returns the parental mix exactly, which is precisely the
+    reference's latents_start = mix_traj[i0-1] (blending_engine.py:440-450).
+    Valid whenever the level's placements don't depend on similarities
+    measured within the same call — a single level growing from a single
+    gap (the turbo transition), where predicted-bisection order is
+    value-independent.
+    """
+    if step_keys is None:
+        if plan.sched == "euler_ancestral":
+            raise ValueError(
+                "plan.sched='euler_ancestral' requires explicit step_keys "
+                "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
+            )
+        step_keys = jax.random.split(jax.random.PRNGKey(0), plan.exec_steps)
+    pe, pool, tids = _fold_cfg(plan, cond)
+    p1 = parent_idx[:, 0]
+    p2 = parent_idx[:, 1]
+
+    from latentblending_tpu.ops.interp import interpolate_spherical_batched
+
+    def body(carry, step):
+        latents, old_denoised = carry
+        c_t, sigma, sigma_prev, sigma_next, t, key, use2 = step
+        # live parental mix: parents' carry entering step i == their
+        # trajectory state after step i-1
+        m_t = interpolate_spherical_batched(
+            jnp.take(latents, p1, axis=0), jnp.take(latents, p2, axis=0), parent_fract
+        )
+        latents = slerp_batched_auto(latents, m_t, c_t)
+        new_latents, denoised = _eps_and_step(
+            plan, unet_apply, params, pe, pool, tids, guidance_scale,
+            latents, old_denoised, sigma, sigma_prev, sigma_next, t, key, use2,
+        )
+        return (new_latents, denoised), new_latents
+
+    sigma_w, sigma_prev_w, sigma_next_w, t_w, use2_w = _step_tables(plan, sigmas, timesteps)
+    steps = (mix_coeffs, sigma_w, sigma_prev_w, sigma_next_w, t_w, step_keys, use2_w)
     carry0 = (latents_start, jnp.zeros(latents_start.shape, jnp.float32))
     (_, _), traj = jax.lax.scan(body, carry0, steps)
     return traj
@@ -216,7 +298,8 @@ class DenoiseRunner:
     def _get_jitted(self, plan: DenoisePlan) -> Callable:
         fn = self._jitted.get(plan)
         if fn is None:
-            fn = jax.jit(functools.partial(denoise_scan, self._unet_apply, plan=plan))
+            scan_fn = denoise_scan_tree if plan.tree else denoise_scan
+            fn = jax.jit(functools.partial(scan_fn, self._unet_apply, plan=plan))
             self._jitted[plan] = fn
         return fn
 
@@ -242,7 +325,7 @@ class DenoiseRunner:
         scan body once (not exec_steps×) and reports nothing for Pallas
         custom calls, under-counting ~10-30×. The raw cost_analysis number
         is still recorded per plan in plan_flops for reference."""
-        self._executed.add(plan)
+        assert not plan.tree, "tree plans go through run_tree"
         if step_keys is None:
             if plan.sched == "euler_ancestral":
                 raise ValueError(
@@ -256,6 +339,29 @@ class DenoiseRunner:
             timesteps=jnp.asarray(schedule.timesteps), guidance_scale=guidance_scale,
             step_keys=step_keys,
         )
+        return self._run_kwargs(plan, params, kwargs, flops)
+
+    def run_tree(self, plan: DenoisePlan, params, latents_start, cond, parent_idx, parent_fract, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None):
+        """Execute one FUSED tree scan (denoise_scan_tree): edges + stems of
+        a whole level in a single compiled call."""
+        assert plan.tree
+        if step_keys is None and plan.sched == "euler_ancestral":
+            raise ValueError(
+                "plan.sched='euler_ancestral' requires explicit step_keys "
+                "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
+            )
+        kwargs = dict(
+            latents_start=latents_start, cond=cond,
+            parent_idx=jnp.asarray(parent_idx, jnp.int32),
+            parent_fract=jnp.asarray(parent_fract, jnp.float32),
+            mix_coeffs=mix_coeffs, sigmas=jnp.asarray(schedule.sigmas),
+            timesteps=jnp.asarray(schedule.timesteps), guidance_scale=guidance_scale,
+            step_keys=step_keys,
+        )
+        return self._run_kwargs(plan, params, kwargs, flops)
+
+    def _run_kwargs(self, plan: DenoisePlan, params, kwargs: dict, flops: float | None):
+        self._executed.add(plan)
         compiled = self._compiled.get(plan)
         if compiled is None:
             compiled = self._get_jitted(plan).lower(params, **kwargs).compile()

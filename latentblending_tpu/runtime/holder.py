@@ -554,6 +554,51 @@ class SDXLHolder:
         )
         return traj[:, :B] if B_run != B else traj
 
+    def run_tree_batched(
+        self,
+        cond: Conditioning,
+        latents_start: jax.Array,  # [B,h,w,4] — edges then stems
+        parent_idx,  # [B,2] int — in-batch parent rows (self for edges)
+        parent_fract,  # [B] float — parental slerp fraction per row
+        coeffs,  # [N,B] float — crossfeed coefficient per (step,row)
+        guidance_scale=None,  # [B] or None
+    ) -> jax.Array:
+        """ONE fused scan over [0,N) computing the edge trajectories AND all
+        stems of a single-level plan (denoise_scan_tree). Crossfeed targets
+        are live parental slerps of in-batch rows — no precomputed windows,
+        no per-level dispatch chain. Single-device path: the in-batch row
+        gather would all-gather a 'data'-sharded batch, so mesh holders use
+        run_diffusion_batched per level instead."""
+        assert self.mesh is None, "fused tree scan is a single-device path"
+        B = latents_start.shape[0]
+        N = self.num_inference_steps
+        use_cfg = self.do_classifier_free_guidance
+        if guidance_scale is None:
+            guidance_scale = jnp.full((B,), self.guidance_scale, jnp.float32)
+        plan = DenoisePlan(
+            num_steps=N, idx_start=0, batch=B, use_cfg=use_cfg,
+            guidance_rescale=float(self.guidance_rescale) if use_cfg else 0.0,
+            sched=self.schedule.config.scheduler_type, tree=True,
+        )
+        step_keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(self.noise_seed_base)), self._noise_call), N
+        )
+        self._noise_call += 1
+        self.last_run_was_warm = self.runner.is_warm(plan)
+        from latentblending_tpu.ops.flops import unet_forward_flops
+
+        flops = N * unet_forward_flops(
+            self.spec.unet, latents_start.shape[1], latents_start.shape[2],
+            B * (2 if use_cfg else 1),
+        )
+        cw = np.asarray(coeffs, np.float32).copy()
+        cw[0, :] = 0.0  # step 0 has no predecessor state to mix toward
+        return self.runner.run_tree(
+            plan, self.params["unet"], latents_start.astype(self.dtype), cond,
+            parent_idx, parent_fract, jnp.asarray(cw), self.schedule, guidance_scale,
+            flops=flops, step_keys=step_keys,
+        )
+
     def run_diffusion(
         self,
         text_embeddings,

@@ -64,3 +64,32 @@ def test_run_multi_transition_tiny(tmp_path):
     cap = cv2.VideoCapture(fp)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 16  # 2 transitions × 8 frames
     cap.release()
+
+
+@pytest.mark.slow
+def test_run_multi_transition_overlap_matches_serial(tmp_path):
+    """The depth-1 overlapped part-write pipeline must produce the exact
+    same movie as the serial path (identical decoded frames)."""
+    from latentblending_tpu.video.writer import read_movie_frames
+
+    project = MovieProject(
+        keyframes=[Keyframe("a", 1), Keyframe("b", 2), Keyframe("c", 3)],
+        width=128, height=128, num_inference_steps=4,
+    )
+
+    def render(fp, overlap):
+        dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+        be = BlendingEngine(dh, run_benchmark=False)
+        be.set_branching(nmb_max_branches=2)
+        run_multi_transition(
+            be, project, fp, duration_single_trans=1.0, fps=8, overlap_write=overlap
+        )
+        # engine state matches the serial contract: keyframes materialized
+        assert all(isinstance(np.asarray(im), np.ndarray) for im in be.tree_final_imgs)
+        return read_movie_frames(fp)
+
+    fa = render(str(tmp_path / "serial.mp4"), False)
+    fb = render(str(tmp_path / "overlap.mp4"), True)
+    assert len(fa) == len(fb) == 16
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(a, b)

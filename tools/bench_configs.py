@@ -65,6 +65,35 @@ def main():
         })
         print(json.dumps(rows[-1]), flush=True)
 
+    # --- config 4: 4-prompt chained movie (3 transitions, latent recycling)
+    # with the overlapped part-write pipeline (part i encodes while part
+    # i+1 computes). Warm pass first: the recycled-edge plan variants
+    # compile on the first chained run.
+    from latentblending_tpu.engine.session import Keyframe, MovieProject, run_multi_transition
+
+    be.set_branch1_crossfeed(0, 0, 0)
+    be.set_parental_crossfeed()
+    be.set_branching(nmb_max_branches=10)
+    project = MovieProject(
+        keyframes=[
+            Keyframe("photo of underwater landscape, fish, und the sea, incredible detail", 420),
+            Keyframe("rendering of an alien planet, strange plants, strange creatures", 421),
+            Keyframe("oil painting of a medieval city at sunset", 422),
+            Keyframe("macro photo of a snowflake, crystal detail", 423),
+        ],
+        width=be.dh.width_img, height=be.dh.height_img,
+        num_inference_steps=be.num_inference_steps,
+    )
+    for tag in ("warm", "timed"):
+        t0 = time.time()
+        run_multi_transition(be, project, "/tmp/lb_bench_chained.mp4", duration_single_trans=4.0, fps=30, apply_settings=False)
+        wall = time.time() - t0
+    rows.append({
+        "config": "4-prompt chained movie (12s, overlapped part writes)",
+        "wall_s": round(wall, 3), "vs_realtime": round(12.0 / wall, 2),
+    })
+    print(json.dumps(rows[-1]), flush=True)
+
     print(json.dumps({"all": rows}))
 
 

@@ -460,8 +460,7 @@ class BlendingEngine:
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps
 
         if (
-            not ok1 and not ok2
-            and self.branch1_crossfeed_power == 0.0
+            not ok2
             and self.stem_batch == 0
             and len(self.list_idx_injection) == 1
             and int(self.list_nmb_stems[0]) >= 1
@@ -471,12 +470,14 @@ class BlendingEngine:
             and os.environ.get("LB_FUSED") != "0"
         ):
             # FUSED single-call transition (denoise_scan_tree): one device
-            # dispatch computes both edges and every stem. Valid because a
+            # dispatch computes the edges and every stem. Valid because a
             # single level growing from a single gap has a similarity-value-
             # independent placement order; dpmpp_2m is excluded (its
             # 2nd-order history would span the pre-injection junk steps)
-            # and mesh runs keep the per-level sharded path.
-            self._run_transition_fused()
+            # and mesh runs keep the per-level sharded path. A recycled
+            # edge 1 (chained transitions) rides along as a per-step window;
+            # branch1 crossfeed is folded in as edge 2's mix schedule.
+            self._run_transition_fused(recycled1=ok1)
             return
 
         if ok1 and ok2:
@@ -554,16 +555,22 @@ class BlendingEngine:
         self.last_report.phases = self.timer.summary()
         self.last_report.wall_s = time.time() - self._t_run0
 
-    def _run_transition_fused(self):
+    def _run_transition_fused(self, recycled1: bool = False):
         """The whole single-level transition as ONE device call.
 
-        denoise_scan_tree computes the two edge trajectories and all k stems
-        in one batched scan: stem rows are pinned to the live parental mix
-        of the edge rows at their injection step (crossfeed coefficient 1.0)
+        denoise_scan_tree computes the edge trajectories and all k stems in
+        one batched scan: stem rows are pinned to the live parental mix of
+        the edge rows at their injection step (crossfeed coefficient 1.0)
         and follow the parental crossfeed schedule after — per-stem results
         are identical to the per-level path for deterministic solvers
         (tested, tests/test_fused_tree.py). Cuts the per-transition dispatch
-        chain from 2+ denoise calls + 2 decode batches to 1 + 1."""
+        chain from 2+ denoise calls + 2 decode batches to 1 + 1.
+
+        recycled1 (chained transitions, reference blending_engine.py:333):
+        edge 1's stored trajectory rides along as a per-step WINDOW input
+        instead of being recomputed — masked rows read their parent-1 state
+        from it. branch1 crossfeed is expressed the same way: edge 2's mix
+        target is edge 1's entering-state (live row or window)."""
         N = self.num_inference_steps
         idx_injection = int(self.list_idx_injection[0])
         k = int(self.list_nmb_stems[0])
@@ -572,29 +579,52 @@ class BlendingEngine:
         # have left a full tree on this engine); placement order comes from
         # predicted bisection of the single gap — value-independent, so no
         # measurement is needed before planning
+        win_list = self.tree_latents[0] if recycled1 else None
         self.tree_fracts = [0.0, 1.0]
         self.tree_idx_injection = [0, 0]
         self.tree_similarities = [1.0]
         placements = self._plan_placements(k, idx_injection)
         fracts = [f for f, _, _ in placements]
-        B = 2 + k
+        # batch rows: [edge1?, edge2, stems...] — edge1 present only when
+        # computed live; when recycled it becomes the window input
+        n_edges = 1 if recycled1 else 2
+        B = n_edges + k
+        e2 = n_edges - 1  # batch row of edge 2
+        # tree row → batch row (tree row 0 = edge1 → window when recycled)
+        row_of = {0: 0, 1: e2}
 
-        noise1, noise2 = self.get_noise(self.seed1), self.get_noise(self.seed2)
+        noise2 = self.get_noise(self.seed2)
         # stem rows need a FINITE placeholder state for their pre-injection
-        # steps (outputs discarded at the pin); parent-1's start is free
-        lat0 = jnp.concatenate([noise1, noise2] + [noise1] * k, axis=0)
-        cond = self._stack_conditionings([0.0, 1.0] + fracts)
-        guidance = jnp.asarray(
-            [self._guidance_at(f) for f in [0.0, 1.0] + fracts], jnp.float32
-        )
+        # steps (outputs discarded at the pin); edge starts are the real
+        # seeded noises
+        if recycled1:
+            lat0 = jnp.concatenate([noise2] * (1 + k), axis=0)
+            cond_fracts = [1.0] + fracts
+            win_stack = jnp.concatenate(list(win_list), axis=0)  # [N,h,w,4]
+            # entering-state convention: step i mixes toward trajectory
+            # entry i-1 (dh:322-324); entry 0 is never read (coeff 0)
+            win_steps = jnp.concatenate([win_stack[:1], win_stack[:-1]], axis=0)
+            win_mask = np.ones((B,), bool)  # parent-1 of every row is edge 1
+            win_mask[e2] = self.branch1_crossfeed_power > 0.0
+        else:
+            noise1 = self.get_noise(self.seed1)
+            lat0 = jnp.concatenate([noise1, noise2] + [noise1] * k, axis=0)
+            cond_fracts = [0.0, 1.0] + fracts
+            win_steps = win_mask = None
+        cond = self._stack_conditionings(cond_fracts)
+        guidance = jnp.asarray([self._guidance_at(f) for f in cond_fracts], jnp.float32)
+
         parent_idx = np.zeros((B, 2), np.int32)
-        parent_idx[0] = (0, 0)
-        parent_idx[1] = (1, 1)
         parent_fract = np.zeros((B,), np.float32)
+        if not recycled1:
+            parent_idx[0] = (0, 0)
+        # edge 2's branch1-crossfeed target is edge 1 itself: parent pair
+        # (edge1, anything) at fract 0 — the slerp returns parent 1 exactly
+        parent_idx[e2] = (0, 0)
         for r, (f, b1, b2) in enumerate(placements):
-            # single-level plan: parents are tree rows 0/1 == batch rows 0/1
-            parent_idx[2 + r] = (b1, b2)
-            parent_fract[2 + r] = (f - self.tree_fracts[b1]) / (
+            # single-level plan: parents are the two edges (tree rows 0/1)
+            parent_idx[n_edges + r] = (row_of[b1], row_of[b2])
+            parent_fract[n_edges + r] = (f - self.tree_fracts[b1]) / (
                 self.tree_fracts[b2] - self.tree_fracts[b1]
             )
         base = parental_crossfeed_coeffs(
@@ -602,28 +632,42 @@ class BlendingEngine:
             self.parental_crossfeed_range, self.parental_crossfeed_decay,
         )
         coeffs = np.zeros((N, B), np.float32)
-        coeffs[:, 2:] = np.asarray(base, np.float32)[:, None]
-        coeffs[:idx_injection, 2:] = 0.0
+        coeffs[:, n_edges:] = np.asarray(base, np.float32)[:, None]
+        coeffs[:idx_injection, n_edges:] = 0.0
         # the pin: slerp fraction 1.0 == start exactly from the parental mix
         # state idx-1 (the reference's latents_start, blending_engine.py:440)
-        coeffs[idx_injection, 2:] = 1.0
+        coeffs[idx_injection, n_edges:] = 1.0
+        if self.branch1_crossfeed_power > 0.0:
+            coeffs[:, e2] = branch1_crossfeed_coeffs(
+                N, self.branch1_crossfeed_power,
+                self.branch1_crossfeed_range, self.branch1_crossfeed_decay,
+            )
 
         with self.timer.phase("denoise"):
             t0 = time.time()
-            traj = self.dh.run_tree_batched(cond, lat0, parent_idx, parent_fract, coeffs, guidance)
+            traj = self.dh.run_tree_batched(
+                cond, lat0, parent_idx, parent_fract, coeffs, guidance,
+                win_steps=win_steps, win_mask=win_mask,
+            )
             _sync(traj)
             if self.dh.last_run_was_warm:
                 self.dt_unet_step = (time.time() - t0) / (N * B)
 
-        # ONE batched decode for edges + stems together
+        # ONE batched decode for edges + stems together; when recycled,
+        # edge 1's final latent joins the batch so its keyframe image is
+        # rebuilt without a separate call (swap_forward cleared it)
         sorted_stems = sorted(range(k), key=lambda i: fracts[i])
-        order_rows = [0] + [2 + i for i in sorted_stems] + [1]
+        finals = traj[-1] if not recycled1 else jnp.concatenate([win_stack[-1:], traj[-1]], axis=0)
+        # decode row of: edge1 = 0, edge2 = e2 + off, stem i = n_edges + off + i
+        off = 1 if recycled1 else 0
+        order_rows = [0] + [n_edges + off + i for i in sorted_stems] + [e2 + off]
+        D = B + off
         with self.timer.phase("vae_decode"):
-            pm1 = self.dh.decode_to_pm1_batched(traj[-1])
+            pm1 = self.dh.decode_to_pm1_batched(finals)
             u8 = self.dh.to_uint8_device(pm1)
             csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
             chunk_of: dict[int, tuple[jax.Array, int]] = {}
-            for j0 in range(0, B, csize):
+            for j0 in range(0, D, csize):
                 rows = order_rows[j0 : j0 + csize]
                 chunk = u8[jnp.asarray(rows)]
                 try:
@@ -634,13 +678,13 @@ class BlendingEngine:
                     chunk_of[row] = (chunk, r)
 
         M = N - idx_injection
-        list1 = [traj[i, 0:1] for i in range(N)]
-        list2 = [traj[i, 1:2] for i in range(N)]
+        list1 = list(win_list) if recycled1 else [traj[i, 0:1] for i in range(N)]
+        list2 = [traj[i, e2 : e2 + 1] for i in range(N)]
         self.tree_latents = (
             [list1]
             + [
                 [None] * idx_injection
-                + [traj[idx_injection + j, 2 + i : 3 + i] for j in range(M)]
+                + [traj[idx_injection + j, n_edges + i : n_edges + 1 + i] for j in range(M)]
                 for i in sorted_stems
             ]
             + [list2]
@@ -657,7 +701,7 @@ class BlendingEngine:
                 except Exception:
                     pass
         self.last_report.levels.append(
-            {"idx_injection": idx_injection, "stems": k, "fused": True}
+            {"idx_injection": idx_injection, "stems": k, "fused": True, "recycled": recycled1}
         )
 
     # ------------------------------------------------- edge (keyframe) paths

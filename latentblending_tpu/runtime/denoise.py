@@ -59,6 +59,9 @@ class DenoisePlan:
     # the CURRENT states of two in-batch parent rows instead of a
     # precomputed trajectory window (the fused whole-transition scan)
     tree: bool = False
+    # win=True: the tree scan additionally consumes a recycled-edge
+    # per-step window (chained transitions) — distinct compiled signature
+    win: bool = False
 
     @property
     def exec_steps(self) -> int:
@@ -220,6 +223,8 @@ def denoise_scan_tree(
     timesteps: jax.Array,  # [N]
     guidance_scale: jax.Array,  # [B]
     step_keys: Optional[jax.Array] = None,  # [M] PRNG keys (ancestral only)
+    win_steps: Optional[jax.Array] = None,  # [M, h, w, 4] recycled-edge entering-states
+    win_mask: Optional[jax.Array] = None,  # [B] bool — rows whose parent-1 is the window
 ) -> jax.Array:
     """The FUSED single-level tree scan: one device call computes the edge
     trajectories AND every stem of the level.
@@ -237,6 +242,12 @@ def denoise_scan_tree(
     measured within the same call — a single level growing from a single
     gap (the turbo transition), where predicted-bisection order is
     value-independent.
+
+    win_steps/win_mask support a RECYCLED parent edge (chained transitions,
+    reference blending_engine.py:333-342): rows with win_mask take their
+    parent-1 state from the precomputed per-step window instead of a live
+    batch row. The same mechanism carries branch1 crossfeed for the second
+    edge (its mix target is the window itself via parent_fract=0).
     """
     if step_keys is None:
         if plan.sched == "euler_ancestral":
@@ -253,11 +264,20 @@ def denoise_scan_tree(
 
     def body(carry, step):
         latents, old_denoised = carry
-        c_t, sigma, sigma_prev, sigma_next, t, key, use2 = step
+        if win_steps is None:
+            c_t, sigma, sigma_prev, sigma_next, t, key, use2 = step
+            p1_state = jnp.take(latents, p1, axis=0)
+        else:
+            c_t, sigma, sigma_prev, sigma_next, t, key, use2, w_t = step
+            p1_state = jnp.where(
+                win_mask[:, None, None, None],
+                jnp.broadcast_to(w_t[None], latents.shape).astype(latents.dtype),
+                jnp.take(latents, p1, axis=0),
+            )
         # live parental mix: parents' carry entering step i == their
         # trajectory state after step i-1
         m_t = interpolate_spherical_batched(
-            jnp.take(latents, p1, axis=0), jnp.take(latents, p2, axis=0), parent_fract
+            p1_state, jnp.take(latents, p2, axis=0), parent_fract
         )
         latents = slerp_batched_auto(latents, m_t, c_t)
         new_latents, denoised = _eps_and_step(
@@ -268,6 +288,8 @@ def denoise_scan_tree(
 
     sigma_w, sigma_prev_w, sigma_next_w, t_w, use2_w = _step_tables(plan, sigmas, timesteps)
     steps = (mix_coeffs, sigma_w, sigma_prev_w, sigma_next_w, t_w, step_keys, use2_w)
+    if win_steps is not None:
+        steps = steps + (win_steps,)
     carry0 = (latents_start, jnp.zeros(latents_start.shape, jnp.float32))
     (_, _), traj = jax.lax.scan(body, carry0, steps)
     return traj
@@ -341,10 +363,11 @@ class DenoiseRunner:
         )
         return self._run_kwargs(plan, params, kwargs, flops)
 
-    def run_tree(self, plan: DenoisePlan, params, latents_start, cond, parent_idx, parent_fract, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None):
+    def run_tree(self, plan: DenoisePlan, params, latents_start, cond, parent_idx, parent_fract, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None, win_steps=None, win_mask=None):
         """Execute one FUSED tree scan (denoise_scan_tree): edges + stems of
         a whole level in a single compiled call."""
         assert plan.tree
+        assert plan.win == (win_steps is not None), "plan.win must match window presence"
         if step_keys is None and plan.sched == "euler_ancestral":
             raise ValueError(
                 "plan.sched='euler_ancestral' requires explicit step_keys "
@@ -358,6 +381,9 @@ class DenoiseRunner:
             timesteps=jnp.asarray(schedule.timesteps), guidance_scale=guidance_scale,
             step_keys=step_keys,
         )
+        if win_steps is not None:
+            kwargs["win_steps"] = win_steps
+            kwargs["win_mask"] = jnp.asarray(win_mask, bool)
         return self._run_kwargs(plan, params, kwargs, flops)
 
     def _run_kwargs(self, plan: DenoisePlan, params, kwargs: dict, flops: float | None):

@@ -562,12 +562,16 @@ class SDXLHolder:
         parent_fract,  # [B] float — parental slerp fraction per row
         coeffs,  # [N,B] float — crossfeed coefficient per (step,row)
         guidance_scale=None,  # [B] or None
+        win_steps=None,  # [N,h,w,4] recycled-edge entering-states, or None
+        win_mask=None,  # [B] bool — rows whose parent-1 is the window
     ) -> jax.Array:
         """ONE fused scan over [0,N) computing the edge trajectories AND all
         stems of a single-level plan (denoise_scan_tree). Crossfeed targets
         are live parental slerps of in-batch rows — no precomputed windows,
-        no per-level dispatch chain. Single-device path: the in-batch row
-        gather would all-gather a 'data'-sharded batch, so mesh holders use
+        no per-level dispatch chain (win_steps optionally substitutes a
+        RECYCLED edge trajectory for parent-1 of masked rows, the chained-
+        transition case). Single-device path: the in-batch row gather would
+        all-gather a 'data'-sharded batch, so mesh holders use
         run_diffusion_batched per level instead."""
         assert self.mesh is None, "fused tree scan is a single-device path"
         B = latents_start.shape[0]
@@ -579,6 +583,7 @@ class SDXLHolder:
             num_steps=N, idx_start=0, batch=B, use_cfg=use_cfg,
             guidance_rescale=float(self.guidance_rescale) if use_cfg else 0.0,
             sched=self.schedule.config.scheduler_type, tree=True,
+            win=win_steps is not None,
         )
         step_keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(int(self.noise_seed_base)), self._noise_call), N
@@ -597,6 +602,8 @@ class SDXLHolder:
             plan, self.params["unet"], latents_start.astype(self.dtype), cond,
             parent_idx, parent_fract, jnp.asarray(cw), self.schedule, guidance_scale,
             flops=flops, step_keys=step_keys,
+            win_steps=None if win_steps is None else win_steps.astype(self.dtype),
+            win_mask=win_mask,
         )
 
     def run_diffusion(

@@ -64,15 +64,74 @@ def test_fused_ancestral_deterministic_rerun():
 
 
 def test_fused_falls_back_when_preconditions_unmet(monkeypatch):
+    # recycled edge 1 → STILL fused (windowed variant)
     be = _build()
-    # recycled edge → per-level path
     be.run_transition(fixed_seeds=[5, 6])
     be.swap_forward()
     be.set_prompt2("photo of a bird")
     be.run_transition(recycle_img1=True, fixed_seeds=[6, 7])
+    lvl = be.last_report.levels[0]
+    assert lvl.get("fused") is True and lvl.get("recycled") is True
+    # recycled edge 2 → per-level path (no window support on that side)
+    be.run_transition(recycle_img2=True, fixed_seeds=[6, 7])
     assert not be.last_report.levels[0].get("fused")
     # stem_batch=1 (reference policy) → per-level path
     be2 = _build()
     be2.stem_batch = 1
     be2.run_transition(fixed_seeds=[5, 6])
     assert not be2.last_report.levels[0].get("fused")
+
+
+def test_fused_recycled_matches_per_level(monkeypatch):
+    """Chained transition with recycle_img1: the windowed fused scan must
+    reproduce the per-level recycled path."""
+    def chain(fused_second):
+        be = _build()
+        monkeypatch.setenv("LB_FUSED", "0")
+        be.run_transition(fixed_seeds=[5, 6])  # identical first tree both runs
+        be.swap_forward()
+        be.set_prompt2("photo of a bird")
+        if fused_second:
+            monkeypatch.delenv("LB_FUSED", raising=False)
+        imgs = [np.asarray(im).copy() for im in be.run_transition(recycle_img1=True, fixed_seeds=[6, 7])]
+        return be, imgs
+
+    be_r, imgs_r = chain(False)
+    assert not be_r.last_report.levels[0].get("fused")
+    be_f, imgs_f = chain(True)
+    lvl = be_f.last_report.levels[0]
+    assert lvl.get("fused") is True and lvl.get("recycled") is True
+    assert list(be_f.tree_fracts) == list(be_r.tree_fracts)
+    assert len(imgs_f) == len(imgs_r)
+    for a, b in zip(imgs_r, imgs_f):
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+    for ta, tb in zip(be_r.tree_latents, be_f.tree_latents):
+        np.testing.assert_allclose(
+            np.asarray(ta[-1], np.float32), np.asarray(tb[-1], np.float32), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fused_branch1_crossfeed_matches_per_level(monkeypatch):
+    """branch1 crossfeed folded into the fused scan (edge 2 mixes toward the
+    live edge-1 row) must match the sequential per-level path."""
+    def run(fused):
+        be = _build()
+        be.set_branch1_crossfeed(0.5, 0.7, 0.2)
+        if fused:
+            monkeypatch.delenv("LB_FUSED", raising=False)
+        else:
+            monkeypatch.setenv("LB_FUSED", "0")
+        imgs = [np.asarray(im).copy() for im in be.run_transition(fixed_seeds=[5, 6])]
+        return be, imgs
+
+    be_r, imgs_r = run(False)
+    assert not be_r.last_report.levels[0].get("fused")
+    be_f, imgs_f = run(True)
+    assert be_f.last_report.levels[0].get("fused") is True
+    assert list(be_f.tree_fracts) == list(be_r.tree_fracts)
+    for a, b in zip(imgs_r, imgs_f):
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+    for ta, tb in zip(be_r.tree_latents, be_f.tree_latents):
+        np.testing.assert_allclose(
+            np.asarray(ta[-1], np.float32), np.asarray(tb[-1], np.float32), rtol=2e-4, atol=2e-4
+        )

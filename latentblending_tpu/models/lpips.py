@@ -109,11 +109,31 @@ def load_lpips_torch_file(path: str) -> dict:
     return convert_lpips_state_dict({k: v.numpy() for k, v in state.items()})
 
 
+def _pair_chunk_limit(imgs: jax.Array) -> int | None:
+    """HBM guard for the metric pass: at 1024² a 16-pair bucket plus the
+    multi-scale intermediates overflows the ~16 GB chip (7 GB of it
+    params + tree residency) — cap the pair batch instead of padding the
+    whole gap count up to one bucket. ≤512² stays unchunked (measured
+    fine)."""
+    h, w = imgs.shape[1], imgs.shape[2]
+    return 4 if (h * w) > 512 * 512 else None
+
+
 def bucketed_pair_call(fn, imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
     """Pad an image-pair batch up to a power-of-two bucket, apply fn, slice
     back. Bounds the compiled-variant count to ≤ log2(B)+1 as the tree's
-    gap count grows (shared by LPIPSScorer and NLPDScorer)."""
+    gap count grows (shared by LPIPSScorer and NLPDScorer). Large frames
+    additionally process in fixed-size chunks (_pair_chunk_limit) so peak
+    memory stays bounded as the tree grows."""
     n = imgs_a.shape[0]
+    limit = _pair_chunk_limit(imgs_a)
+    if limit is not None and n > limit:
+        return jnp.concatenate(
+            [
+                bucketed_pair_call(fn, imgs_a[i : i + limit], imgs_b[i : i + limit])
+                for i in range(0, n, limit)
+            ]
+        )
     bucket = 1
     while bucket < n:
         bucket *= 2

@@ -107,6 +107,12 @@ class NLPDScorer:
     def __init__(self, levels: int = 5, image_hw: tuple[int, int] | None = None):
         # image_hw accepted for interface parity; shapes are traced per call
         self.levels = int(levels)
+        # jitted: the eager pyramid materializes every per-level temporary
+        # on device (OOMs at 1024² gap counts) and pays one relay dispatch
+        # per op; compiled it is one fused call with planned memory
+        import jax
+
+        self._fn = jax.jit(lambda a, b: nlpd_distance(a, b, levels=self.levels))
 
     @staticmethod
     def _prep(img) -> jnp.ndarray:
@@ -116,11 +122,9 @@ class NLPDScorer:
         return LPIPSScorer._prep(img)
 
     def distance(self, img_a, img_b) -> float:
-        return float(nlpd_distance(self._prep(img_a), self._prep(img_b), levels=self.levels)[0])
+        return float(self._fn(self._prep(img_a), self._prep(img_b))[0])
 
     def distance_batch(self, imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
         from latentblending_tpu.models.lpips import bucketed_pair_call
 
-        return bucketed_pair_call(
-            lambda a, b: nlpd_distance(a, b, levels=self.levels), imgs_a, imgs_b
-        )
+        return bucketed_pair_call(self._fn, imgs_a, imgs_b)

@@ -79,3 +79,21 @@ def test_torch_state_dict_conversion_structure():
     got = {k: v.shape for k, v in flatten_dict(params).items()}
     want = {k: v.shape for k, v in flatten_dict(ref_shapes).items()}
     assert got == want
+
+
+def test_bucketed_pair_call_chunks_large_frames():
+    """Above 512² the pair batch processes in chunks of 4 (HBM guard) —
+    values must equal the unchunked computation."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.models.lpips import _pair_chunk_limit, bucketed_pair_call
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(6, 544, 544, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6, 544, 544, 3)).astype(np.float32))
+    assert _pair_chunk_limit(a) == 4
+    fn = lambda x, y: jnp.sqrt(jnp.mean((x - y) ** 2, axis=(1, 2, 3)))
+    out = bucketed_pair_call(fn, a, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fn(a, b)), rtol=1e-6)
+    # small frames stay unchunked
+    assert _pair_chunk_limit(jnp.zeros((3, 512, 512, 3))) is None

@@ -466,17 +466,17 @@ class BlendingEngine:
             and int(self.list_nmb_stems[0]) >= 1
             and self.list_idx_injection[0] >= 1
             and self.dh.mesh is None
-            and self.dh.schedule.config.scheduler_type != "dpmpp_2m"
             and os.environ.get("LB_FUSED") != "0"
         ):
             # FUSED single-call transition (denoise_scan_tree): one device
             # dispatch computes the edges and every stem. Valid because a
             # single level growing from a single gap has a similarity-value-
-            # independent placement order; dpmpp_2m is excluded (its
-            # 2nd-order history would span the pre-injection junk steps)
-            # and mesh runs keep the per-level sharded path. A recycled
-            # edge 1 (chained transitions) rides along as a per-step window;
-            # branch1 crossfeed is folded in as edge 2's mix schedule.
+            # independent placement order; mesh runs keep the per-level
+            # sharded path. dpmpp_2m's 2nd-order history is gated per row by
+            # pin_steps (junk pre-pin states never enter the solver). A
+            # recycled edge 1 (chained transitions) rides along as a
+            # per-step window; branch1 crossfeed is folded in as edge 2's
+            # mix schedule.
             self._run_transition_fused(recycled1=ok1)
             return
 
@@ -643,11 +643,15 @@ class BlendingEngine:
                 self.branch1_crossfeed_range, self.branch1_crossfeed_decay,
             )
 
+        # per-row pin step: edges are real trajectories from step 0; stems
+        # become valid at their injection pin (gates dpmpp's 2nd-order term)
+        pins = np.zeros((B,), np.int32)
+        pins[n_edges:] = idx_injection
         with self.timer.phase("denoise"):
             t0 = time.time()
             traj = self.dh.run_tree_batched(
                 cond, lat0, parent_idx, parent_fract, coeffs, guidance,
-                win_steps=win_steps, win_mask=win_mask,
+                win_steps=win_steps, win_mask=win_mask, pin_steps=pins,
             )
             _sync(traj)
             if self.dh.last_run_was_warm:

@@ -225,6 +225,7 @@ def denoise_scan_tree(
     step_keys: Optional[jax.Array] = None,  # [M] PRNG keys (ancestral only)
     win_steps: Optional[jax.Array] = None,  # [M, h, w, 4] recycled-edge entering-states
     win_mask: Optional[jax.Array] = None,  # [B] bool — rows whose parent-1 is the window
+    pin_steps: Optional[jax.Array] = None,  # [B] int32 — step each row is pinned at (0 = edge)
 ) -> jax.Array:
     """The FUSED single-level tree scan: one device call computes the edge
     trajectories AND every stem of the level.
@@ -248,6 +249,11 @@ def denoise_scan_tree(
     parent-1 state from the precomputed per-step window instead of a live
     batch row. The same mechanism carries branch1 crossfeed for the second
     edge (its mix target is the window itself via parent_fract=0).
+
+    pin_steps makes multistep solvers (dpmpp_2m) valid in the fused scan:
+    a row's 2nd-order correction only engages AFTER its pin step, so the
+    pre-pin junk never enters the solver history — at pin+1 old_denoised
+    is the pin step's x0 prediction, exactly the per-level scan's history.
     """
     if step_keys is None:
         if plan.sched == "euler_ancestral":
@@ -282,12 +288,19 @@ def denoise_scan_tree(
         latents = slerp_batched_auto(latents, m_t, c_t)
         new_latents, denoised = _eps_and_step(
             plan, unet_apply, params, pe, pool, tids, guidance_scale,
-            latents, old_denoised, sigma, sigma_prev, sigma_next, t, key, use2,
+            latents, old_denoised, sigma, sigma_prev, sigma_next, t, key,
+            use2[:, None, None, None],
         )
         return (new_latents, denoised), new_latents
 
     sigma_w, sigma_prev_w, sigma_next_w, t_w, use2_w = _step_tables(plan, sigmas, timesteps)
-    steps = (mix_coeffs, sigma_w, sigma_prev_w, sigma_next_w, t_w, step_keys, use2_w)
+    # per-row validity: a row's solver history only exists after its pin
+    # step (edges pin at 0 → the usual first-step fallback)
+    if pin_steps is None:
+        pin_steps = jnp.zeros((latents_start.shape[0],), jnp.int32)
+    M = plan.exec_steps
+    use2_mat = use2_w[:, None] & (jnp.arange(M)[:, None] > pin_steps[None, :])
+    steps = (mix_coeffs, sigma_w, sigma_prev_w, sigma_next_w, t_w, step_keys, use2_mat)
     if win_steps is not None:
         steps = steps + (win_steps,)
     carry0 = (latents_start, jnp.zeros(latents_start.shape, jnp.float32))
@@ -363,7 +376,7 @@ class DenoiseRunner:
         )
         return self._run_kwargs(plan, params, kwargs, flops)
 
-    def run_tree(self, plan: DenoisePlan, params, latents_start, cond, parent_idx, parent_fract, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None, win_steps=None, win_mask=None):
+    def run_tree(self, plan: DenoisePlan, params, latents_start, cond, parent_idx, parent_fract, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None, win_steps=None, win_mask=None, pin_steps=None):
         """Execute one FUSED tree scan (denoise_scan_tree): edges + stems of
         a whole level in a single compiled call."""
         assert plan.tree
@@ -384,6 +397,8 @@ class DenoiseRunner:
         if win_steps is not None:
             kwargs["win_steps"] = win_steps
             kwargs["win_mask"] = jnp.asarray(win_mask, bool)
+        if pin_steps is not None:
+            kwargs["pin_steps"] = jnp.asarray(pin_steps, jnp.int32)
         return self._run_kwargs(plan, params, kwargs, flops)
 
     def _run_kwargs(self, plan: DenoisePlan, params, kwargs: dict, flops: float | None):

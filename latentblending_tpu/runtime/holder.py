@@ -564,6 +564,7 @@ class SDXLHolder:
         guidance_scale=None,  # [B] or None
         win_steps=None,  # [N,h,w,4] recycled-edge entering-states, or None
         win_mask=None,  # [B] bool — rows whose parent-1 is the window
+        pin_steps=None,  # [B] int — injection step per row (0 = edge)
     ) -> jax.Array:
         """ONE fused scan over [0,N) computing the edge trajectories AND all
         stems of a single-level plan (denoise_scan_tree). Crossfeed targets
@@ -598,12 +599,14 @@ class SDXLHolder:
         )
         cw = np.asarray(coeffs, np.float32).copy()
         cw[0, :] = 0.0  # step 0 has no predecessor state to mix toward
+        if pin_steps is None:
+            pin_steps = np.zeros((B,), np.int32)
         return self.runner.run_tree(
             plan, self.params["unet"], latents_start.astype(self.dtype), cond,
             parent_idx, parent_fract, jnp.asarray(cw), self.schedule, guidance_scale,
             flops=flops, step_keys=step_keys,
             win_steps=None if win_steps is None else win_steps.astype(self.dtype),
-            win_mask=win_mask,
+            win_mask=win_mask, pin_steps=pin_steps,
         )
 
     def run_diffusion(

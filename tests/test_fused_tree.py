@@ -135,3 +135,33 @@ def test_fused_branch1_crossfeed_matches_per_level(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(ta[-1], np.float32), np.asarray(tb[-1], np.float32), rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_dpmpp_matches_per_level(monkeypatch):
+    """DPM-Solver++(2M) in the fused scan: per-row pin gating must keep the
+    2nd-order history clean — results equal to the per-level path."""
+    def run(fused):
+        dh = SDXLHolder.from_random("tiny-turbo", seed=0, dtype=jnp.float32)
+        dh.set_scheduler_type("dpmpp_2m")
+        be = BlendingEngine(dh, run_benchmark=False)
+        be.set_prompt1("photo of a cat")
+        be.set_prompt2("photo of a dog")
+        be.set_branching(nmb_max_branches=5)
+        if fused:
+            monkeypatch.delenv("LB_FUSED", raising=False)
+        else:
+            monkeypatch.setenv("LB_FUSED", "0")
+        imgs = [np.asarray(im).copy() for im in be.run_transition(fixed_seeds=[5, 6])]
+        return be, imgs
+
+    be_r, imgs_r = run(False)
+    assert not be_r.last_report.levels[0].get("fused")
+    be_f, imgs_f = run(True)
+    assert be_f.last_report.levels[0].get("fused") is True
+    assert list(be_f.tree_fracts) == list(be_r.tree_fracts)
+    for a, b in zip(imgs_r, imgs_f):
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+    for ta, tb in zip(be_r.tree_latents, be_f.tree_latents):
+        np.testing.assert_allclose(
+            np.asarray(ta[-1], np.float32), np.asarray(tb[-1], np.float32), rtol=2e-4, atol=2e-4
+        )

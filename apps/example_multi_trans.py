@@ -21,6 +21,11 @@ def main():
     p.add_argument("--duration_single_trans", type=float, default=10.0)
     p.add_argument("--scheduler", default=None, choices=["euler", "euler_ancestral", "dpmpp_2m"])
     p.add_argument("--similarity_metric", default=None, choices=["lpips", "nlpd"])
+    p.add_argument(
+        "--placement_policy", default="measured", choices=["measured", "predictive"],
+        help="'predictive' places all levels by predicted gap splitting — "
+        "zero inter-level device syncs (speed mode, documented deviation)",
+    )
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
@@ -33,6 +38,7 @@ def main():
     if args.scheduler:
         dh.set_scheduler_type(args.scheduler)
     be = BlendingEngine(dh, similarity_metric=args.similarity_metric)
+    be.placement_policy = args.placement_policy
 
     prompts = [
         "photo of a house, high detail",

@@ -93,6 +93,8 @@ def main():
             be.set_branching(t_compute_max_allowed=float(budget))
         else:
             be.set_branching(nmb_max_branches=int(os.environ.get("LB_BENCH_BRANCHES", "10")))
+    if os.environ.get("LB_PLACEMENT") in ("measured", "predictive"):
+        be.placement_policy = os.environ["LB_PLACEMENT"]
     be.set_prompt1("photo of underwater landscape, fish, und the sea, incredible detail")
     be.set_prompt2("rendering of an alien planet, strange plants, strange creatures")
     be.set_negative_prompt("blurry, ugly, pale")
@@ -162,6 +164,7 @@ def main():
             "mesh": str(dict(mesh.shape)) if mesh is not None else None,
             "weights": "snapshot" if snapshot else "random-init",
             "similarity_metric": be.similarity_metric,
+            "placement_policy": be.placement_policy,
         },
     }
     print(json.dumps(result))

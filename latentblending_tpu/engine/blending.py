@@ -118,6 +118,14 @@ class BlendingEngine:
         # exact-plan parity.
         assert cost_model in ("batched", "reference")
         self.cost_model = cost_model
+        # placement_policy: 'measured' (default) re-scores every gap with
+        # the perceptual metric between levels, like the reference;
+        # 'predictive' places ALL levels by predicted gap splitting — the
+        # whole multi-level tree then dispatches as one async device chain
+        # with zero inter-level host syncs (speed mode; placements become
+        # uniform bisection in fract space). Policy drift vs the measured
+        # policy is quantifiable with tools/check_fidelity.py self-check.
+        self.placement_policy = "measured"
         self.seed1 = 0
         self.seed2 = 0
         self.prompt1 = ""
@@ -213,6 +221,7 @@ class BlendingEngine:
             parental_crossfeed_decay=self.parental_crossfeed_decay,
             depth_strength=d, t_compute_max_allowed=t, nmb_max_branches=n,
             stem_batch=self.stem_batch, cost_model=self.cost_model,
+            placement_policy=self.placement_policy,
             similarity_metric=self.similarity_metric,
         )
 
@@ -237,6 +246,8 @@ class BlendingEngine:
         self.stem_batch = cfg.stem_batch
         assert cfg.cost_model in ("batched", "reference")
         self.cost_model = cfg.cost_model
+        assert cfg.placement_policy in ("measured", "predictive")
+        self.placement_policy = cfg.placement_policy
         if cfg.similarity_metric is not None and cfg.similarity_metric != self.similarity_metric:
             assert cfg.similarity_metric in ("lpips", "nlpd")
             self.similarity_metric = cfg.similarity_metric
@@ -504,7 +515,15 @@ class BlendingEngine:
         self.tree_final_imgs = [_PendingImage(edge_u8, 0), _PendingImage(edge_u8, 1)]
         self._imgs_dev = [edge_pm1[0], edge_pm1[1]]
         self.tree_idx_injection = [0, 0]
-        self.tree_similarities = self._batched_similarities()
+        # predictive policy: every level places by predicted gap splitting,
+        # so NO device value is ever consumed between levels — all denoise/
+        # decode dispatches chain asynchronously, one sync at the very end
+        # (kills the per-level relay round-trips + metric waits)
+        predictive = self.placement_policy == "predictive" and self.stem_batch == 0
+        if predictive:
+            self.tree_similarities = [1.0]
+        else:
+            self.tree_similarities = self._batched_similarities()
 
         stem_batch = self.stem_batch
         n_levels = len(self.list_idx_injection)
@@ -520,7 +539,10 @@ class BlendingEngine:
                 # placement consumes them) — leave them on device so callers
                 # can overlap output work with the LPIPS compute + transfers
                 is_last = s_idx == n_levels - 1 and done + k >= nmb_stems
-                self._run_stem_round(k, idx_injection, defer_sims=is_last)
+                self._run_stem_round(
+                    k, idx_injection, defer_sims=is_last,
+                    predicted=predictive, sync=(not predictive) or is_last,
+                )
                 done += k
             self.last_report.levels.append(
                 {"idx_injection": int(idx_injection), "stems": int(nmb_stems), "wall_s": round(time.time() - t_lvl, 3)}
@@ -815,11 +837,17 @@ class BlendingEngine:
         zero = jnp.zeros_like(entries[-1][0])
         return jnp.stack([(zero if entries[i] is None else entries[i][0]) for i in range(N)], axis=0)
 
-    def _run_stem_round(self, k: int, idx_injection: int, defer_sims: bool = False):
+    def _run_stem_round(self, k: int, idx_injection: int, defer_sims: bool = False, predicted: bool = False, sync: bool = True):
         """Plan, compute and insert k sibling stems as one batched denoise +
         decode + LPIPS round. With defer_sims the gap-similarity pass is
         dispatched but left on device (_sims_pending) — only valid for the
-        final round, whose similarities no placement decision consumes."""
+        final round, whose similarities no placement decision consumes.
+
+        predicted (placement_policy='predictive'): gap similarities update
+        by predicted halving instead of re-measurement; with sync=False the
+        round is pure dispatch — no host waits — so consecutive levels chain
+        asynchronously on the device (phase timings then attribute the whole
+        chain's wait to the final synced round)."""
         N = self.num_inference_steps
         timer = getattr(self, "timer", None) or PhaseTimer()
         placements = self._plan_placements(k, idx_injection)
@@ -854,8 +882,9 @@ class BlendingEngine:
             )  # [N - idx_injection, k, h, w, 4]
             # block_until_ready is unreliable on async relay transports —
             # force a one-element host copy as a real data dependency so the
-            # phase boundary is honest
-            _sync(traj)
+            # phase boundary is honest (skipped for async-chained rounds)
+            if sync:
+                _sync(traj)
 
         order = sorted(range(k), key=lambda i: placements[i][0])
         # batched decode of the k final latents (kept on device for LPIPS)
@@ -896,6 +925,13 @@ class BlendingEngine:
                 self._imgs_dev.insert(idx_insert, imgs_pm1[i])
                 self.tree_fracts.insert(idx_insert, fract_mixing)
                 self.tree_idx_injection.insert(idx_insert, idx_injection)
+                if predicted:
+                    # predicted split: each half inherits half the gap's
+                    # value — keeps tree_similarities placement-consistent
+                    # without any device read
+                    g = idx_insert - 1
+                    old = float(self.tree_similarities[g])
+                    self.tree_similarities[g : g + 1] = [old * 0.5, old * 0.5]
             if defer_sims:
                 self._sims_pending = self._dispatch_similarities()
                 if self._sims_pending is not None:
@@ -905,7 +941,7 @@ class BlendingEngine:
                         self._sims_pending.copy_to_host_async()
                     except Exception:
                         pass
-            else:
+            elif not predicted:
                 self.tree_similarities = self._batched_similarities()
 
     def insert_into_tree(self, fract_mixing, idx_injection, list_latents, img_insert=None):

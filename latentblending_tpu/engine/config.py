@@ -42,6 +42,10 @@ class EngineConfig:
     # TPU-build execution knobs (no reference counterpart)
     stem_batch: int = 0          # 0 = whole level per batch; 1 = reference policy
     cost_model: str = "batched"  # 'batched' | 'reference' planner calibration
+    # 'measured' re-scores gaps between levels (reference behavior);
+    # 'predictive' places all levels by predicted splitting — zero
+    # inter-level host syncs (speed mode, documented policy deviation)
+    placement_policy: str = "measured"
     # 'lpips' (reference; needs weights) | 'nlpd' (weight-free) | None → keep
     # the engine's current metric (which itself defaults to lpips-with-weights
     # else nlpd)

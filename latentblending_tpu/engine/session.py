@@ -74,23 +74,21 @@ class MovieProject:
         )
 
 
-def _write_part(imgs: list, hw: tuple[int, int], fp_part: str, target: int, fps: int, errs: list):
-    """Resolve + lerp + encode one transition's movie part. Runs on a
-    background thread in the overlapped chained pipeline: the encoder (host
-    CPU) works while the main thread is blocked on the NEXT transition's
-    device calls — real overlap even on a single-core host, because relay
-    waits release the GIL."""
+def _write_part(imgs: list, ms, target: int, errs: list):
+    """Resolve + lerp + append one transition's frames to the SHARED movie
+    writer. Runs on a background thread in the overlapped chained pipeline:
+    the encoder (host CPU) works while the main thread is blocked on the
+    NEXT transition's device calls — real overlap even on a single-core
+    host, because relay waits release the GIL."""
     try:
         from latentblending_tpu.engine.blending import resolve_image
         from latentblending_tpu.video.frames import stream_frames_lazy
-        from latentblending_tpu.video.writer import MovieSaver, write_frames
+        from latentblending_tpu.video.writer import write_frames
 
         batch_cache: dict = {}
         frames = stream_frames_lazy(imgs, target, lambda im: resolve_image(im, batch_cache))
-        ms = MovieSaver(fp_part, fps=fps, shape_hw=hw)
         write_frames(ms, frames)
-        ms.finalize()
-        log.info(f"wrote {ms.nmb_frames} frames to {fp_part}")
+        log.info(f"wrote {target} frames ({ms.nmb_frames} total)")
     except BaseException as e:  # re-raised on the main thread after join
         errs.append(e)
 
@@ -108,14 +106,19 @@ def run_multi_transition(
     """Chain K keyframes into K-1 transitions with latent recycling
     (reference example_multi_trans.py:39-62 / gradio_ui.py:235-260).
 
+    All transitions stream into ONE movie writer — unlike the reference's
+    per-part files + concat (example_multi_trans.py:58-62), which without
+    an ffmpeg binary would cost a full decode+re-encode of every frame
+    (and a generation loss) at the concat step.
+
     overlap_write (default on; LB_OVERLAP_PARTS=0 disables): part i's
-    movie encode runs on a background thread while part i+1's transition
+    frame encode runs on a background thread while part i+1's transition
     computes on the device — a depth-1 pipeline bounded to one part in
     flight. The reference serializes transition → write → next transition
     (example_multi_trans.py:52-58)."""
     import threading
 
-    from latentblending_tpu.video.writer import concatenate_movies
+    from latentblending_tpu.video.writer import MovieSaver
 
     assert len(project.keyframes) >= 2, "need at least two keyframes"
     if overlap_write is None:
@@ -128,7 +131,7 @@ def run_multi_transition(
     os.makedirs(workdir, exist_ok=True)
     kfs = project.keyframes
     target = int(round(fps * duration_single_trans))
-    list_parts = []
+    ms = MovieSaver(fp_movie, fps=fps, shape_hw=(be.dh.height_img, be.dh.width_img))
     pending: threading.Thread | None = None
     errs: list[BaseException] = []
     try:
@@ -147,51 +150,37 @@ def run_multi_transition(
                 be.set_prompt2(kfs[i + 1].prompt)
                 recycle_img1 = True
 
-            fp_part = os.path.join(workdir, f"tmp_part_{str(i).zfill(3)}.mp4")
+            be._run_transition_core(
+                recycle_img1=recycle_img1, fixed_seeds=[kfs[i].seed, kfs[i + 1].seed]
+            )
+            # snapshot the keyframe handles BEFORE the next iteration's
+            # swap_forward clears them; the device batches they reference
+            # are immutable, so the writer thread owns them safely
+            imgs = list(be.tree_final_imgs)
+            if pending is not None:
+                pending.join()  # depth-1 pipeline: one part in flight
+                if errs:
+                    raise errs[0]
             if overlap_write:
-                be._run_transition_core(
-                    recycle_img1=recycle_img1, fixed_seeds=[kfs[i].seed, kfs[i + 1].seed]
-                )
-                # snapshot the keyframe handles BEFORE the next iteration's
-                # swap_forward clears them; the device batches they reference
-                # are immutable, so the writer thread owns them safely
-                imgs = list(be.tree_final_imgs)
-                hw = (be.dh.height_img, be.dh.width_img)
-                if pending is not None:
-                    pending.join()  # depth-1 pipeline: one part in flight
-                    if errs:
-                        raise errs[0]
                 pending = threading.Thread(
-                    target=_write_part, args=(imgs, hw, fp_part, target, fps, errs), daemon=True
+                    target=_write_part, args=(imgs, ms, target, errs), daemon=True
                 )
                 pending.start()
-                # sims sync (report-only) overlaps the encode thread — both
-                # sides release the GIL (relay transfer / cv2 encode)
-                be._finalize_report()
             else:
-                # fused transition+write: encoding overlaps the keyframe
-                # transfers and the final similarity pass
-                be.run_movie_transition(
-                    fp_part, duration_single_trans, fps=fps,
-                    recycle_img1=recycle_img1, fixed_seeds=[kfs[i].seed, kfs[i + 1].seed],
-                )
-            list_parts.append(fp_part)
+                _write_part(imgs, ms, target, errs)
+                if errs:
+                    raise errs[0]
+            # sims sync (report-only) overlaps the encode thread — both
+            # sides release the GIL (relay transfer / cv2 encode)
+            be._finalize_report()
             log.info(f"transition {i + 1}/{len(kfs) - 1} done")
     finally:
         if pending is not None:
             pending.join()
     if errs:
         raise errs[0]
-    if overlap_write:
-        # leave the engine in the same state as the serial path: the last
-        # transition's keyframes materialized
-        be._resolve_keyframes()
-
-    concatenate_movies(fp_movie, list_parts, fps=fps)
-    for fp in list_parts:
-        try:
-            os.remove(fp)
-        except OSError:
-            pass
-    log.info(f"movie saved to {fp_movie}")
+    # leave the engine with the last transition's keyframes materialized
+    be._resolve_keyframes()
+    ms.finalize()
+    log.info(f"movie saved to {fp_movie} ({ms.nmb_frames} frames)")
     return fp_movie

@@ -59,3 +59,45 @@ def test_base_transition_with_cfg(base_engine):
     # mid-dampening engaged during the run: effective guidance differs from base
     g_mid = be._guidance_at(0.5)
     assert g_mid < be.guidance_scale_base
+
+
+def test_predictive_placement_policy(tmp_path):
+    """placement_policy='predictive': multi-level plans place by predicted
+    gap splitting with zero inter-level syncs — valid sorted tree, measured
+    report sims, deterministic re-run."""
+    import jax.numpy as jnp
+
+    from latentblending_tpu.engine.blending import BlendingEngine
+    from latentblending_tpu.runtime.holder import SDXLHolder
+
+    def run():
+        dh = SDXLHolder.from_random("tiny-base", seed=0, dtype=jnp.float32)
+        be = BlendingEngine(dh, run_benchmark=False)
+        be.placement_policy = "predictive"
+        be.set_num_inference_steps(10)
+        be.set_branching(nmb_max_branches=6)
+        assert len(be.list_idx_injection) > 1  # multi-level plan
+        be.set_prompt1("a")
+        be.set_prompt2("b")
+        imgs = be.run_transition(fixed_seeds=[3, 4])
+        return be, [np.asarray(im).copy() for im in imgs]
+
+    be, imgs = run()
+    K = len(imgs)
+    assert K == 2 + sum(be.list_nmb_stems)
+    assert be.tree_fracts == sorted(be.tree_fracts)
+    # the report carries MEASURED similarities (deferred last-round pass)
+    assert len(be.last_report.lpips_gaps) == K - 1
+    assert all(s >= 0 for s in be.last_report.lpips_gaps)
+    # deterministic across runs
+    be2, imgs2 = run()
+    assert be2.tree_fracts == be.tree_fracts
+    for a, b in zip(imgs, imgs2):
+        np.testing.assert_array_equal(a, b)
+    # config round-trips the policy
+    cfg = be.get_config()
+    assert cfg.placement_policy == "predictive"
+    dh3 = SDXLHolder.from_random("tiny-base", seed=0, dtype=jnp.float32)
+    be3 = BlendingEngine(dh3, run_benchmark=False)
+    be3.apply_config(cfg)
+    assert be3.placement_policy == "predictive"

@@ -130,8 +130,9 @@ def self_check(args):
     # apples-to-apples comparison
     dh.set_scheduler_type("euler")
 
-    def run(stem_batch):
+    def run(stem_batch, placement_policy="measured"):
         be = BlendingEngine(dh, stem_batch=stem_batch, similarity_metric="nlpd")
+        be.placement_policy = placement_policy
         be.set_prompt1(args.prompt1)
         be.set_prompt2(args.prompt2)
         if not dh.is_sdxl_turbo:
@@ -139,7 +140,13 @@ def self_check(args):
         imgs = be.run_transition(fixed_seeds=[420, 421])
         return [np.asarray(im) for im in imgs], list(be.tree_fracts)
 
-    imgs_b, fr_b = run(0)
+    policy = getattr(args, "policy", "batched")
+    if policy == "predictive":
+        imgs_b, fr_b = run(0, "predictive")
+        label = "predictive-vs-reference-policy"
+    else:
+        imgs_b, fr_b = run(0)
+        label = "batched-vs-reference-policy"
     imgs_s, fr_s = run(1)
     scorer = NLPDScorer()
     dists = []
@@ -148,9 +155,9 @@ def self_check(args):
         dists.append(scorer.distance(im, imgs_s[g]))
     dists = np.asarray(dists)
     print(
-        f"batched-vs-reference-policy NLPD over {len(dists)} keyframes: "
+        f"{label} NLPD over {len(dists)} keyframes: "
         f"mean {dists.mean():.4f}  max {dists.max():.4f}  "
-        f"(fracts batched={np.round(fr_b,3).tolist()} sequential={np.round(fr_s,3).tolist()})"
+        f"(fracts candidate={np.round(fr_b,3).tolist()} sequential={np.round(fr_s,3).tolist()})"
     )
     ok = dists.max() <= args.bar
     print("PASS" if ok else "FAIL")
@@ -180,6 +187,10 @@ def main():
     s.add_argument("--prompt2", default="rendering of an alien planet, strange plants, strange creatures")
     s.add_argument("--branches", type=int, default=10)
     s.add_argument("--bar", type=float, default=0.05)
+    s.add_argument(
+        "--policy", default="batched", choices=["batched", "predictive"],
+        help="candidate policy to score against the reference argmax policy",
+    )
     args = p.parse_args()
     if args.cmd == "make-goldens":
         make_goldens(args)

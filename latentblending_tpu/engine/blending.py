@@ -605,7 +605,7 @@ class BlendingEngine:
         self.tree_fracts = [0.0, 1.0]
         self.tree_idx_injection = [0, 0]
         self.tree_similarities = [1.0]
-        placements = self._plan_placements(k, idx_injection)
+        placements, _ = self._plan_placements(k, idx_injection)
         fracts = [f for f, _, _ in placements]
         # batch rows: [edge1?, edge2, stems...] — edge1 present only when
         # computed live; when recycled it becomes the window input
@@ -797,8 +797,14 @@ class BlendingEngine:
     def _plan_placements(self, k: int, idx_injection: int):
         """Choose k insertion fracts via predicted gap splitting.
 
-        With k=1 this is exactly the reference's argmax over measured
-        similarities (blending_engine.py:531-562)."""
+        Returns (placements, predicted_sims): `predicted_sims` is the
+        gap-similarity list AFTER all k inserts land (sorted gap order) —
+        the predictive policy adopts it verbatim, which keeps the split
+        bookkeeping in argmax order (replaying halvings in insert/fract
+        order is order-dependent and mis-assigns gap values).
+
+        With k=1 the placement is exactly the reference's argmax over
+        measured similarities (blending_engine.py:531-562)."""
         sims = [float(s) for s in self.tree_similarities]
         fracts = list(self.tree_fracts)
         placements = []
@@ -810,7 +816,7 @@ class BlendingEngine:
             # predicted split: each half inherits half the distance
             sims[g : g + 1] = [sims[g] * 0.5, sims[g] * 0.5]
             fracts.insert(g + 1, fract_mixing)
-        return placements
+        return placements, sims
 
     def _find_parents(self, fract_mixing: float, idx_injection: int) -> tuple[int, int]:
         """Nearest tree entries that are strictly shallower than the new
@@ -828,7 +834,7 @@ class BlendingEngine:
 
     def get_mixing_parameters(self, idx_injection: int):
         """Reference-compatible single-placement API (blending_engine.py:531)."""
-        return self._plan_placements(1, idx_injection)[0]
+        return self._plan_placements(1, idx_injection)[0][0]
 
     def _branch_traj_array(self, b: int) -> jax.Array:
         """Tree branch b as a stacked [N, h, w, 4] array (None steps → zeros)."""
@@ -850,7 +856,7 @@ class BlendingEngine:
         chain's wait to the final synced round)."""
         N = self.num_inference_steps
         timer = getattr(self, "timer", None) or PhaseTimer()
-        placements = self._plan_placements(k, idx_injection)
+        placements, plan_sims = self._plan_placements(k, idx_injection)
 
         # parental mix trajectories [N, k, h, w, 4]
         p1 = jnp.stack([self._branch_traj_array(b1) for _, b1, _ in placements], axis=1)
@@ -925,13 +931,10 @@ class BlendingEngine:
                 self._imgs_dev.insert(idx_insert, imgs_pm1[i])
                 self.tree_fracts.insert(idx_insert, fract_mixing)
                 self.tree_idx_injection.insert(idx_insert, idx_injection)
-                if predicted:
-                    # predicted split: each half inherits half the gap's
-                    # value — keeps tree_similarities placement-consistent
-                    # without any device read
-                    g = idx_insert - 1
-                    old = float(self.tree_similarities[g])
-                    self.tree_similarities[g : g + 1] = [old * 0.5, old * 0.5]
+            if predicted:
+                # adopt the planner's post-insert predicted gap values
+                # wholesale — no device read, and no order-dependent replay
+                self.tree_similarities = list(plan_sims)
             if defer_sims:
                 self._sims_pending = self._dispatch_similarities()
                 if self._sims_pending is not None:

@@ -61,6 +61,29 @@ def test_base_transition_with_cfg(base_engine):
     assert g_mid < be.guidance_scale_base
 
 
+def test_predictive_plan_spreads_dyadically(base_engine):
+    """Regression: predicted-split bookkeeping must be adopted in the
+    planner's argmax order. Replaying the halvings in insert (fract) order
+    is order-dependent — it once left tree_similarities as [0.5, 0.25,
+    0.125, 0.125] after a 3-stem round and drove every later level into
+    the leftmost gap (fracts 1/32, 1/64, ...). The correct predictive
+    policy reproduces the dyadic spread of the reference's measured argmax
+    under uniform perceptual distance."""
+    be = base_engine
+    be.tree_fracts = [0.0, 1.0]
+    be.tree_idx_injection = [0, 0]
+    be.tree_similarities = [1.0]
+    for idx, k in zip([15, 18, 21, 24, 27], [3, 2, 1, 1, 1]):
+        placements, sims = be._plan_placements(k, idx)
+        for f, _, _ in sorted(placements):
+            i = next(j for j, g in enumerate(be.tree_fracts) if g > f)
+            be.tree_fracts.insert(i, f)
+            be.tree_idx_injection.insert(i, idx)
+        be.tree_similarities = sims
+    assert be.tree_fracts == [0.0, 0.0625, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]
+    assert be.tree_similarities == [0.0625] * 2 + [0.125] * 7
+
+
 def test_predictive_placement_policy(tmp_path):
     """placement_policy='predictive': multi-level plans place by predicted
     gap splitting with zero inter-level syncs — valid sorted tree, measured

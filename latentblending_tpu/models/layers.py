@@ -135,7 +135,8 @@ def _use_flash_attention(lq: int, lk: int, mask) -> bool:
 
     if os.environ.get("LB_FLASH") == "0":
         return False
-    return jax.default_backend() == "tpu" and mask is None and lq == lk and lq >= 1024 and lq % 512 == 0
+    min_len = int(os.environ.get("LB_FLASH_MIN", "1024"))
+    return jax.default_backend() == "tpu" and mask is None and lq == lk and lq >= min_len and lq % 512 == 0
 
 
 def _flash_block_sizes(b: int, heads: int, lq: int, lk: int, dim_head: int = 64):

@@ -242,22 +242,14 @@ def build_engines(args) -> dict[str, BlendingEngine]:
     return engines
 
 
-def main():
-    parser = argparse.ArgumentParser(description="Latent Blending GUI (TPU)")
-    parser.add_argument("--do_compile", type=bool, default=False)  # parity; XLA always compiles
-    parser.add_argument("--nmb_preview_images", type=int, default=4)
-    parser.add_argument("--server_name", type=str, default=None)
-    parser.add_argument("--snapshots", type=str, nargs="*", default=None, help="HF snapshot dirs")
-    parser.add_argument("--tiny", action="store_true")
-    args = parser.parse_args()
+def build_ui(gr, mur: MultiUserRouter, nmb_preview_images: int = 4):
+    """Construct the Blocks UI (reference gradio_ui.py:286-338 — same
+    widget set, labels and event bindings) and return the demo object.
 
-    try:
-        import gradio as gr
-    except ImportError as e:
-        raise SystemExit("gradio is not installed in this environment; `pip install gradio` to use the UI") from e
-
-    mur = MultiUserRouter(build_engines(args), args.nmb_preview_images)
-
+    Takes the gradio module as a parameter so the construction path is
+    executable without gradio installed: tests/test_gradio_blocks.py runs
+    this against a faithful recording stub and then drives the recorded
+    event bindings end-to-end with the tiny engine."""
     with gr.Blocks() as demo:
         with gr.Accordion("Setup", open=True):
             with gr.Row():
@@ -275,7 +267,7 @@ def main():
                 b_select = gr.Button("add selected image to video", variant="primary")
             with gr.Row():
                 gallery_preview = gr.Gallery(
-                    show_label=False, columns=[args.nmb_preview_images], rows=[1],
+                    show_label=False, columns=[nmb_preview_images], rows=[1],
                     object_fit="contain", height="auto", allow_preview=False, interactive=False,
                 )
             with gr.Row():
@@ -303,6 +295,25 @@ def main():
             b_move_later.click(mur.img_movie_later, user_id, gallery_movie)
             b_generate_movie.click(mur.generate_movie, [user_id, t_per_segment], movie)
 
+    return demo
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Latent Blending GUI (TPU)")
+    parser.add_argument("--do_compile", type=bool, default=False)  # parity; XLA always compiles
+    parser.add_argument("--nmb_preview_images", type=int, default=4)
+    parser.add_argument("--server_name", type=str, default=None)
+    parser.add_argument("--snapshots", type=str, nargs="*", default=None, help="HF snapshot dirs")
+    parser.add_argument("--tiny", action="store_true")
+    args = parser.parse_args()
+
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise SystemExit("gradio is not installed in this environment; `pip install gradio` to use the UI") from e
+
+    mur = MultiUserRouter(build_engines(args), args.nmb_preview_images)
+    demo = build_ui(gr, mur, args.nmb_preview_images)
     demo.launch(share=False, inbrowser=True, inline=False, server_name=args.server_name)
 
 

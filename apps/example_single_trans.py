@@ -34,6 +34,11 @@ def main():
         "--similarity_metric", default=None, choices=["lpips", "nlpd"],
         help="branch-placement metric (default: nlpd unless LPIPS weights are supplied)",
     )
+    p.add_argument(
+        "--placement_policy", default="measured", choices=["measured", "predictive"],
+        help="measured: reference-exact argmax placement; predictive: zero-sync "
+             "predicted gap halving (faster, drift bounded in BENCH.md)",
+    )
     # real-image keyframes (beyond-reference capability: the reference
     # stores these images but never uses them, blending_engine.py:231-245;
     # here they are VAE-encoded into a forward-noised trajectory and pinned
@@ -62,6 +67,7 @@ def main():
     if args.scheduler:
         dh.set_scheduler_type(args.scheduler)
     be = BlendingEngine(dh, similarity_metric=args.similarity_metric)
+    be.placement_policy = args.placement_policy
     if args.steps:
         be.set_num_inference_steps(args.steps)
     be.set_prompt1("underwater landscape, fish, und the sea, incredible detail, high resolution")

@@ -74,10 +74,14 @@ def test_batched_policy_equals_sequential_when_batch1(engine):
     engine.stem_batch = 0
     imgs_bat = engine.run_transition(fixed_seeds=[7, 8])
     engine.stem_batch = 0
-    # same keyframe count; edges identical
+    # same keyframe count; edges within the fused-scan equivalence bar:
+    # stem_batch=0 computes edges inside the single fused scan (different
+    # XLA batch shape than the sequential per-edge path), which is
+    # documented ±1 uint8 LSB of the per-level path (tests/test_fused_tree.py)
     assert len(imgs_seq) == len(imgs_bat)
-    np.testing.assert_array_equal(imgs_seq[0], imgs_bat[0])
-    np.testing.assert_array_equal(imgs_seq[-1], imgs_bat[-1])
+    for a, b in ((imgs_seq[0], imgs_bat[0]), (imgs_seq[-1], imgs_bat[-1])):
+        diff = np.abs(np.asarray(a).astype(np.int16) - np.asarray(b).astype(np.int16))
+        assert diff.max() <= 1, f"edge keyframes differ by {diff.max()} LSB"
 
 
 def test_branch1_crossfeed_changes_branch2(engine):

@@ -19,4 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite compiles hundreds of tiny-model
+# variants (fused tree / predictive / dpmpp / sharding); caching them makes
+# repeat runs bound by test logic instead of XLA CPU compilation
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lb_jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert len(jax.devices()) == 8, "CPU virtual device forcing failed"

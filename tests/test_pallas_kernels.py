@@ -30,3 +30,28 @@ def test_slerp_pallas_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_flash_dispatch_rules(monkeypatch):
+    """_use_flash_attention gate: TPU-only, self-attention-only, unmasked,
+    512-aligned, length threshold tunable via LB_FLASH_MIN (measured default
+    1024 — the Pallas tile beats XLA at L=1024 too, BENCH.md)."""
+    from latentblending_tpu.models import layers
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert layers._use_flash_attention(4096, 4096, None)
+    assert layers._use_flash_attention(1024, 1024, None)
+    assert not layers._use_flash_attention(512, 512, None)       # below default min
+    assert not layers._use_flash_attention(4096, 77, None)       # cross-attention
+    assert not layers._use_flash_attention(4096, 4096, object()) # masked
+    assert not layers._use_flash_attention(1280, 1280, None)     # not 512-aligned
+    monkeypatch.setenv("LB_FLASH_MIN", "512")
+    assert layers._use_flash_attention(512, 512, None)
+    monkeypatch.setenv("LB_FLASH_MIN", "2048")
+    assert not layers._use_flash_attention(1024, 1024, None)
+    monkeypatch.setenv("LB_FLASH", "0")
+    assert not layers._use_flash_attention(4096, 4096, None)
+    monkeypatch.delenv("LB_FLASH")
+    monkeypatch.delenv("LB_FLASH_MIN")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not layers._use_flash_attention(4096, 4096, None)

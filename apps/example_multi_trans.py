@@ -26,6 +26,8 @@ def main():
         help="'predictive' places all levels by predicted gap splitting — "
         "zero inter-level device syncs (speed mode, documented deviation)",
     )
+    p.add_argument("--loop", action="store_true",
+                   help="append a final transition back to the first keyframe (seamless loop)")
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
@@ -51,7 +53,9 @@ def main():
         keyframes=[Keyframe(pr, sd) for pr, sd in zip(prompts, seeds)],
         width=size[0], height=size[1], num_inference_steps=steps,
     )
-    run_multi_transition(be, project, args.out, duration_single_trans=args.duration_single_trans)
+    run_multi_transition(
+        be, project, args.out, duration_single_trans=args.duration_single_trans, loop=args.loop
+    )
 
 
 if __name__ == "__main__":

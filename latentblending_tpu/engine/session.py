@@ -102,9 +102,15 @@ def run_multi_transition(
     apply_settings: bool = True,
     workdir: str | None = None,
     overlap_write: bool | None = None,
+    loop: bool = False,
 ) -> str:
     """Chain K keyframes into K-1 transitions with latent recycling
     (reference example_multi_trans.py:39-62 / gradio_ui.py:235-260).
+
+    loop=True appends a final transition from the last keyframe back to
+    the first, so the movie tiles seamlessly (K transitions; the last
+    frame's prompt/seed equal the first keyframe's). Beyond-reference
+    convenience — the reference leaves loop closure to the user.
 
     All transitions stream into ONE movie writer — unlike the reference's
     per-part files + concat (example_multi_trans.py:58-62), which without
@@ -129,7 +135,7 @@ def run_multi_transition(
 
     workdir = workdir or os.path.dirname(os.path.abspath(fp_movie))
     os.makedirs(workdir, exist_ok=True)
-    kfs = project.keyframes
+    kfs = list(project.keyframes) + ([project.keyframes[0]] if loop else [])
     target = int(round(fps * duration_single_trans))
     ms = MovieSaver(fp_movie, fps=fps, shape_hw=(be.dh.height_img, be.dh.width_img))
     pending: threading.Thread | None = None

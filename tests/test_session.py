@@ -93,3 +93,36 @@ def test_run_multi_transition_overlap_matches_serial(tmp_path):
     assert len(fa) == len(fb) == 16
     for a, b in zip(fa, fb):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_run_multi_transition_loop(tmp_path):
+    """loop=True adds a K-th transition back to keyframe 1: K·target frames,
+    and the final written frame matches a fresh render of keyframe 1 (same
+    prompt+seed → same image, up to the fused-path ±1 LSB bar)."""
+    import cv2
+    import numpy as np
+
+    dh = SDXLHolder.from_random("tiny-turbo", dtype=jnp.float32)
+    be = BlendingEngine(dh, run_benchmark=False)
+    be.set_branching(nmb_max_branches=2)
+    project = MovieProject(
+        keyframes=[Keyframe("a", 1), Keyframe("b", 2)],
+        width=128, height=128, num_inference_steps=4,
+    )
+    fp = str(tmp_path / "looped.mp4")
+    run_multi_transition(be, project, fp, duration_single_trans=1.0, fps=8, loop=True)
+    cap = cv2.VideoCapture(fp)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    assert n == 16  # 2 transitions (a→b, b→a-loopback) × 8 frames
+    cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+    ok_first, first = cap.read()
+    cap.set(cv2.CAP_PROP_POS_FRAMES, n - 1)
+    ok_last, last = cap.read()
+    cap.release()
+    assert ok_first and ok_last
+    # seam quality: the last frame is the first keyframe re-rendered; mp4v
+    # is lossy, so compare loosely but require closeness far below any
+    # mid-transition frame difference
+    seam = np.abs(first.astype(np.int16) - last.astype(np.int16)).mean()
+    assert seam < 8.0, f"loop seam too visible: mean |diff| {seam}"

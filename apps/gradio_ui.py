@@ -214,13 +214,14 @@ class MultiUserRouter:
     def img_movie_earlier(self, user_id):
         return self._swap(user_id, -1)
 
-    def generate_movie(self, user_id, t_per_segment=10.0):
+    def generate_movie(self, user_id, t_per_segment=10.0, loop=False):
         s = self._session(user_id)
         be, lock = self._engine_for(s)
         with lock:
             project = s.to_project(be.num_inference_steps)
             run_multi_transition(
-                be, project, s.fp_movie, duration_single_trans=float(t_per_segment), apply_settings=True
+                be, project, s.fp_movie, duration_single_trans=float(t_per_segment),
+                apply_settings=True, loop=bool(loop),
             )
         return s.fp_movie
 

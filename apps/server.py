@@ -18,7 +18,7 @@ Endpoints (all JSON unless noted):
   POST /keyframe  {"user_id"}                              → {"movie": [url...]}
   POST /reorder   {"user_id", "index", "direction"}        → {"movie": [url...]}
   POST /delete    {"user_id", "index"}                     → {"movie": [url...]}
-  POST /movie     {"user_id", "t_per_segment": s}          → {"movie_url", "json_url"}
+  POST /movie     {"user_id", "t_per_segment": s, "loop"?}  → {"movie_url", "json_url"}
   GET  /files/<token>                                       → image/video bytes
                   (only files this server handed out resolve — no
                    directory is ever exposed)
@@ -144,7 +144,9 @@ def make_handler(router, file_root: str, max_tokens_per_user: int = 256):
                     router.movie_img_selected(uid, types.SimpleNamespace(index=int(req["index"])), None)
                     return self._json(200, {"movie": [self._file_url(f, uid) for f in router.img_movie_delete(uid)]})
                 if path == "/movie":
-                    fp_movie = router.generate_movie(uid, float(req.get("t_per_segment", 10.0)))
+                    fp_movie = router.generate_movie(
+                        uid, float(req.get("t_per_segment", 10.0)), loop=bool(req.get("loop", False))
+                    )
                     s = router.sessions[uid]
                     return self._json(200, {
                         "movie_url": self._file_url(fp_movie, uid),

@@ -35,6 +35,11 @@ def __getattr__(name):
         from latentblending_tpu.engine.config import EngineConfig
 
         return EngineConfig
+    if name in ("Keyframe", "MovieProject", "run_multi_transition"):
+        # chained/looping movie sessions (JSON movie projects)
+        import latentblending_tpu.engine.session as _s
+
+        return getattr(_s, name)
     if name in ("get_spacing", "get_time", "yml_load", "yml_save"):
         # reference package __init__ exports these utils — drop-in parity
         import latentblending_tpu.utils as _u
@@ -52,6 +57,9 @@ __all__ = [
     "interpolate_spherical_batched",
     "interpolate_linear",
     "add_frames_linear_interp",
+    "Keyframe",
+    "MovieProject",
+    "run_multi_transition",
     "get_spacing",
     "get_time",
     "yml_load",

@@ -74,6 +74,21 @@ def _make_mesh_if_multichip():
 def main():
     spec = os.environ.get("LB_BENCH_SPEC", "sdxl-turbo")
     snapshot = os.environ.get("LB_SNAPSHOT")
+    # fail fast instead of hanging forever if the TPU relay is down. A
+    # SIGALRM handler can't preempt a blocked C++ PJRT init (no bytecode
+    # runs), so probe backend init in a subprocess with a hard timeout.
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=int(os.environ.get("LB_BENCH_INIT_TIMEOUT", "300")),
+            check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"bench: TPU backend init failed/timed out (relay down?): {type(e).__name__}", file=sys.stderr)
+        raise SystemExit(3)
     mesh = _make_mesh_if_multichip()
     t_setup = time.time()
     if snapshot:

@@ -1,9 +1,15 @@
 """Movie IO: MovieSaver + concatenate_movies.
 
 Replaces the reference's lunar_tools ffmpeg wrappers (reference
-blending_engine.py:703-706, gradio_ui.py:260). Backend: the ffmpeg binary
-when present, else OpenCV's VideoWriter (mp4v) — this environment ships
-cv2 but no ffmpeg.
+blending_engine.py:703-706, gradio_ui.py:260). Backends, chosen per host
+(override with LB_WRITER=ffmpeg|mjpeg|mp4v):
+
+- ffmpeg binary (x264, the reference's own output) when present;
+- parallel MJPEG-in-MP4 (video/mjpeg_mp4.py) otherwise — measured 1.4-1.5x
+  faster than cv2 mp4v per core and intra-only so it scales across encode
+  threads, at the cost of ~10x larger files (BENCH.md);
+- OpenCV VideoWriter (avc1 if an encoder exists, else mp4v) as the
+  smallest-file fallback.
 """
 from __future__ import annotations
 
@@ -64,6 +70,7 @@ class MovieSaver:
         self.nmb_frames = 0
         self._writer = None
         self._proc = None
+        self._mjpeg = None
         self._bgr = None  # reused conversion buffer (page-fault avoidance)
         if os.path.isfile(fp_movie):
             os.remove(fp_movie)
@@ -76,7 +83,15 @@ class MovieSaver:
         if h % 2 or w % 2:
             # yuv420p (and most players) require even dimensions
             raise ValueError(f"movie dimensions must be even, got {w}x{h}")
-        exe = _ffmpeg_exe()
+        backend = os.environ.get("LB_WRITER", "auto")
+        exe = _ffmpeg_exe() if backend in ("auto", "ffmpeg") else None
+        if backend == "ffmpeg" and exe is None:
+            raise RuntimeError("LB_WRITER=ffmpeg but no ffmpeg binary found")
+        if exe is None and backend in ("auto", "mjpeg"):
+            from .mjpeg_mp4 import MjpegMp4Writer
+
+            self._mjpeg = MjpegMp4Writer(self.fp_movie, fps=self.fps, shape_hw=(h, w))
+            return
         if exe is not None:
             self._proc = subprocess.Popen(
                 [
@@ -99,12 +114,14 @@ class MovieSaver:
     def write_frame(self, img: np.ndarray):
         img = np.asarray(img)
         assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3, "expects uint8 HWC RGB"
-        if self._writer is None and self._proc is None:
+        if self._writer is None and self._proc is None and self._mjpeg is None:
             h, w = (self.shape_hw or img.shape[:2])
             self._open(h, w)
         if self.shape_hw is not None and img.shape[:2] != tuple(self.shape_hw):
             raise ValueError(f"frame shape {img.shape[:2]} != movie shape {self.shape_hw}")
-        if self._proc is not None:
+        if self._mjpeg is not None:
+            self._mjpeg.write_frame(img)
+        elif self._proc is not None:
             try:
                 self._proc.stdin.write(img.tobytes())
             except BrokenPipeError as e:
@@ -120,7 +137,10 @@ class MovieSaver:
         self.nmb_frames += 1
 
     def finalize(self):
-        if self._proc is not None:
+        if self._mjpeg is not None:
+            self._mjpeg.finalize()
+            self._mjpeg = None
+        elif self._proc is not None:
             self._proc.stdin.close()
             rc = self._proc.wait()
             self._proc = None

@@ -1,0 +1,113 @@
+"""MJPEG-in-MP4 writer: container validity, decode roundtrip, backend selection.
+
+The muxer replaces the reference's ffmpeg/x264 MovieSaver output path
+(reference blending_engine.py:703-706) on hosts without an ffmpeg binary.
+"""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from latentblending_tpu.video.mjpeg_mp4 import MjpegMp4Writer, default_workers
+from latentblending_tpu.video.writer import MovieSaver, read_movie_frames
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _frames(n=12, hw=64):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (hw // 8, hw // 8, 3), dtype=np.uint8)
+    f0 = cv2.resize(base, (hw, hw), interpolation=cv2.INTER_CUBIC)
+    return [np.clip(f0.astype(np.int16) + 9 * i, 0, 255).astype(np.uint8) for i in range(n)]
+
+
+def test_roundtrip_cv2_decode(tmp_path):
+    fp = str(tmp_path / "m.mp4")
+    frames = _frames()
+    w = MjpegMp4Writer(fp, fps=30)
+    for f in frames:
+        w.write_frame(f)
+    w.finalize()
+    assert w.nmb_frames == len(frames)
+    got = read_movie_frames(fp)
+    assert len(got) == len(frames)
+    assert got[0].shape == frames[0].shape
+    for a, b in zip(frames, got):
+        assert np.mean(np.abs(a.astype(np.int16) - b.astype(np.int16))) < 8.0  # JPEG-lossy bar
+    cap = cv2.VideoCapture(fp)
+    assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(30, abs=0.1)
+    assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == len(frames)
+    cap.release()
+
+
+def test_container_boxes(tmp_path):
+    fp = str(tmp_path / "m.mp4")
+    w = MjpegMp4Writer(fp, fps=24)
+    for f in _frames(n=3):
+        w.write_frame(f)
+    w.finalize()
+    blob = open(fp, "rb").read()
+    assert blob[4:8] == b"ftyp"
+    ftyp_size = struct.unpack(">I", blob[:4])[0]
+    # mdat follows ftyp; its patched size must land exactly at moov
+    mdat_size = struct.unpack(">I", blob[ftyp_size:ftyp_size + 4])[0]
+    assert blob[ftyp_size + 4:ftyp_size + 8] == b"mdat"
+    moov_off = ftyp_size + mdat_size
+    assert blob[moov_off + 4:moov_off + 8] == b"moov"
+    assert moov_off + struct.unpack(">I", blob[moov_off:moov_off + 4])[0] == len(blob)
+    assert b"jpeg" in blob[moov_off:]
+
+
+def test_threaded_encode_matches_inline(tmp_path):
+    frames = _frames(n=10)
+    fps_a, fps_b = str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")
+    wa = MjpegMp4Writer(fps_a, fps=30, workers=0)
+    wb = MjpegMp4Writer(fps_b, fps=30, workers=3)
+    buf = np.empty_like(frames[0])
+    for f in frames:
+        np.copyto(buf, f)  # exercise the caller-reuses-buffer contract
+        wa.write_frame(f)
+        wb.write_frame(buf)
+    wa.finalize()
+    wb.finalize()
+    assert open(fps_a, "rb").read() == open(fps_b, "rb").read()
+
+
+def test_moviesaver_auto_backend_and_override(tmp_path, monkeypatch):
+    frames = _frames(n=4)
+    # no ffmpeg on this host → auto picks mjpeg
+    monkeypatch.delenv("LB_WRITER", raising=False)
+    fp = str(tmp_path / "auto.mp4")
+    ms = MovieSaver(fp, fps=10, shape_hw=(64, 64))
+    for f in frames:
+        ms.write_frame(f)
+    ms.finalize()
+    blob = open(fp, "rb").read()
+    assert b"jpeg" in blob[-512:]  # moov sample entry at the tail
+    assert len(read_movie_frames(fp)) == 4
+
+    monkeypatch.setenv("LB_WRITER", "mp4v")
+    fp2 = str(tmp_path / "forced.mp4")
+    ms = MovieSaver(fp2, fps=10, shape_hw=(64, 64))
+    for f in frames:
+        ms.write_frame(f)
+    ms.finalize()
+    assert b"jpeg" not in open(fp2, "rb").read()[-512:]
+    assert len(read_movie_frames(fp2)) == 4
+
+
+def test_frame_shape_mismatch_raises(tmp_path):
+    w = MjpegMp4Writer(str(tmp_path / "m.mp4"), fps=30, shape_hw=(64, 64))
+    w.write_frame(_frames(n=1)[0])
+    with pytest.raises(ValueError):
+        w.write_frame(np.zeros((32, 32, 3), np.uint8))
+    w.finalize()
+
+
+def test_default_workers_env(monkeypatch):
+    monkeypatch.setenv("LB_JPEG_WORKERS", "5")
+    assert default_workers() == 5
+    monkeypatch.delenv("LB_JPEG_WORKERS")
+    n = os.cpu_count() or 1
+    assert default_workers() == (0 if n <= 2 else min(n - 1, 8))

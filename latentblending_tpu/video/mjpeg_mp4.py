@@ -110,6 +110,103 @@ def default_workers() -> int:
     return 0 if ncpu <= 2 else min(ncpu - 1, 8)
 
 
+def read_samples(fp: str) -> tuple[list[bytes], tuple[int, int], float] | None:
+    """Extract the JPEG samples of an MJPEG mp4 written by MjpegMp4Writer.
+
+    Returns (samples, (h, w), fps), or None if the file is not in this
+    muxer's exact layout (single 'jpeg' track, one chunk, one stts run) —
+    callers fall back to decode + re-encode for foreign files.
+    """
+    try:
+        with open(fp, "rb") as f:
+            blob = f.read()
+
+        def boxes(buf: bytes, off: int = 0, end: int | None = None):
+            end = len(buf) if end is None else end
+            while off + 8 <= end:
+                size = struct.unpack(">I", buf[off:off + 4])[0]
+                if size < 8 or off + size > end:
+                    return
+                yield buf[off + 4:off + 8], off + 8, off + size
+                off += size
+
+        top = {tag: (s, e) for tag, s, e in boxes(blob)}
+        if b"moov" not in top:
+            return None
+
+        def find(path: list[bytes], s: int, e: int) -> tuple[int, int] | None:
+            for tag in path:
+                hit = next(((cs, ce) for t, cs, ce in boxes(blob, s, e) if t == tag), None)
+                if hit is None:
+                    return None
+                s, e = hit
+            return s, e
+
+        ms, me = top[b"moov"]
+        stbl = find([b"trak", b"mdia", b"minf", b"stbl"], ms, me)
+        mdhd = find([b"trak", b"mdia", b"mdhd"], ms, me)
+        if stbl is None or mdhd is None:
+            return None
+        tbl = {tag: (s, e) for tag, s, e in boxes(blob, *stbl)}
+        ss, se = tbl[b"stsd"]
+        if blob[ss + 12:ss + 16] != b"jpeg":
+            return None
+        w, h = struct.unpack(">HH", blob[ss + 40:ss + 44])
+        ts = struct.unpack(">I", blob[mdhd[0] + 12:mdhd[0] + 16])[0]
+        nstts = struct.unpack(">I", blob[tbl[b"stts"][0] + 4:tbl[b"stts"][0] + 8])[0]
+        if nstts != 1:
+            return None
+        delta = struct.unpack(">I", blob[tbl[b"stts"][0] + 12:tbl[b"stts"][0] + 16])[0]
+        fps = ts / delta
+        cs, _ = tbl[b"stco"]
+        if struct.unpack(">I", blob[cs + 4:cs + 8])[0] != 1:
+            return None
+        off = struct.unpack(">I", blob[cs + 8:cs + 12])[0]
+        zs, _ = tbl[b"stsz"]
+        n = struct.unpack(">I", blob[zs + 8:zs + 12])[0]
+        sizes = struct.unpack(f">{n}I", blob[zs + 12:zs + 12 + 4 * n])
+        samples = []
+        for sz in sizes:
+            samples.append(blob[off:off + sz])
+            off += sz
+        return samples, (h, w), fps
+    except Exception:
+        return None
+
+
+def concat_parts(fp_out: str, parts: list[str], fps: float | None = None) -> bool:
+    """Losslessly concatenate MJPEG mp4 parts written by this muxer (no
+    decode/re-encode — the TPU-native answer to the reference's
+    `ffmpeg -c copy` concat, example_multi_trans.py:62). Returns False if
+    any part isn't in this muxer's layout or shapes/fps disagree."""
+    extracted = [read_samples(fp) for fp in parts]
+    if any(e is None for e in extracted):
+        return False
+    shapes = {e[1] for e in extracted}
+    fpss = {round(e[2], 3) for e in extracted}
+    if len(shapes) != 1 or (fps is None and len(fpss) != 1):
+        return False
+    (h, w) = shapes.pop()
+    out_fps = fps if fps is not None else extracted[0][2]
+    d = os.path.dirname(fp_out)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    sizes: list[int] = []
+    with open(fp_out, "wb") as f:
+        f.write(_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"))
+        mdat_hdr = f.tell()
+        f.write(struct.pack(">I", 8) + b"mdat")
+        for samples, _, _ in extracted:
+            for s in samples:
+                f.write(s)
+                sizes.append(len(s))
+        mdat_size = f.tell() - mdat_hdr
+        f.write(_moov(len(sizes), sizes, mdat_hdr + 8, w, h, out_fps))
+        f.seek(mdat_hdr)
+        f.write(struct.pack(">I", mdat_size))
+    return True
+
+
 class MjpegMp4Writer:
     """Streaming MJPEG .mp4 writer: write_frame(uint8 HWC RGB) … finalize()."""
 

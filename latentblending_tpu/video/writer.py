@@ -246,6 +246,11 @@ def concatenate_movies(fp_final: str, list_fp_movies: list[str], fps: int | None
         finally:
             os.unlink(list_path)
         return
+    from .mjpeg_mp4 import concat_parts
+
+    # our own MJPEG parts splice losslessly without a decode/re-encode pass
+    if concat_parts(fp_final, list_fp_movies, fps=fps):
+        return
     import cv2
 
     cap = cv2.VideoCapture(list_fp_movies[0])

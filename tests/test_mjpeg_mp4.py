@@ -111,3 +111,52 @@ def test_default_workers_env(monkeypatch):
     monkeypatch.delenv("LB_JPEG_WORKERS")
     n = os.cpu_count() or 1
     assert default_workers() == (0 if n <= 2 else min(n - 1, 8))
+
+
+def test_lossless_concat_parts(tmp_path):
+    from latentblending_tpu.video.mjpeg_mp4 import concat_parts, read_samples
+    from latentblending_tpu.video.writer import concatenate_movies
+
+    frames = _frames(n=9)
+    parts = []
+    for i in range(3):
+        fp = str(tmp_path / f"p{i}.mp4")
+        w = MjpegMp4Writer(fp, fps=30)
+        for f in frames[3 * i:3 * i + 3]:
+            w.write_frame(f)
+        w.finalize()
+        parts.append(fp)
+    out = str(tmp_path / "cat.mp4")
+    assert concat_parts(out, parts)
+    samples, (h, w_), fps = read_samples(out)
+    assert (len(samples), h, w_, fps) == (9, 64, 64, 30.0)
+    # byte-identical to the samples of a single 9-frame write
+    ref = str(tmp_path / "ref.mp4")
+    w = MjpegMp4Writer(ref, fps=30)
+    for f in frames:
+        w.write_frame(f)
+    w.finalize()
+    assert samples == read_samples(ref)[0]
+    # the public concat entry point takes the lossless path for our parts
+    out2 = str(tmp_path / "cat2.mp4")
+    concatenate_movies(out2, parts)
+    assert read_samples(out2)[0] == samples
+    assert len(read_movie_frames(out2)) == 9
+
+
+def test_concat_foreign_file_falls_back(tmp_path, monkeypatch):
+    from latentblending_tpu.video.mjpeg_mp4 import concat_parts
+    from latentblending_tpu.video.writer import concatenate_movies
+
+    frames = _frames(n=4)
+    monkeypatch.setenv("LB_WRITER", "mp4v")
+    foreign = str(tmp_path / "foreign.mp4")
+    ms = MovieSaver(foreign, fps=10, shape_hw=(64, 64))
+    for f in frames:
+        ms.write_frame(f)
+    ms.finalize()
+    monkeypatch.delenv("LB_WRITER")
+    assert not concat_parts(str(tmp_path / "no.mp4"), [foreign])
+    out = str(tmp_path / "cat.mp4")
+    concatenate_movies(out, [foreign, foreign])  # re-encode fallback path
+    assert len(read_movie_frames(out)) == 8

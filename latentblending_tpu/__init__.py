@@ -40,6 +40,12 @@ def __getattr__(name):
         import latentblending_tpu.engine.session as _s
 
         return getattr(_s, name)
+    if name in ("MovieSaver", "concatenate_movies", "read_movie_frames"):
+        # the reference user gets these from lunar_tools; exported here so
+        # switching needs one import line (reference blending_engine.py:13)
+        import latentblending_tpu.video.writer as _w
+
+        return getattr(_w, name)
     if name in ("get_spacing", "get_time", "yml_load", "yml_save"):
         # reference package __init__ exports these utils — drop-in parity
         import latentblending_tpu.utils as _u
@@ -60,6 +66,9 @@ __all__ = [
     "Keyframe",
     "MovieProject",
     "run_multi_transition",
+    "MovieSaver",
+    "concatenate_movies",
+    "read_movie_frames",
     "get_spacing",
     "get_time",
     "yml_load",

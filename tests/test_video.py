@@ -96,3 +96,10 @@ def test_device_fillup_matches_host():
     assert len(dev) == len(host) == 30
     for a, b in zip(dev, host):
         assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_package_all_exports_resolve():
+    import latentblending_tpu as lb
+
+    for name in lb.__all__:
+        assert getattr(lb, name) is not None, name

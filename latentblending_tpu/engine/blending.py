@@ -1054,24 +1054,21 @@ class BlendingEngine:
     def write_movie_transition(self, fp_movie: str, duration_transition: float, fps: int = 30):
         import os
 
-        from latentblending_tpu.video.frames import (
-            add_frames_linear_interp_device,
-            stream_frames_linear_interp,
-        )
-        from latentblending_tpu.video.writer import MovieSaver, write_frames
+        from latentblending_tpu.video.frames import add_frames_linear_interp_device
+        from latentblending_tpu.video.writer import MovieSaver, write_frames, write_frames_interp
 
         target = int(round(fps * duration_transition))
-        # Default: streaming host fill-up (native SIMD kernel, one reused
-        # buffer — no bulk allocation, only K keyframes cross the
-        # device↔host link). LB_DEVICE_FILLUP=1 moves the lerp onto the
-        # accelerator instead — the right trade when the link is fast
-        # (real TPU-VM PCIe) and the host is weak.
-        if os.environ.get("LB_DEVICE_FILLUP") == "1":
-            imgs = add_frames_linear_interp_device(self.tree_final_imgs, target)
-        else:
-            imgs = stream_frames_linear_interp(self.tree_final_imgs, target)
         ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
-        write_frames(ms, imgs)
+        # Default: streaming host fill-up (JPEG coefficient-space lerp when
+        # the MJPEG backend runs a single encode thread, else the native
+        # SIMD pixel kernel — see video/writer.write_frames_interp; only K
+        # keyframes cross the device↔host link). LB_DEVICE_FILLUP=1 moves
+        # the lerp onto the accelerator instead — the right trade when the
+        # link is fast (real TPU-VM PCIe) and the host is weak.
+        if os.environ.get("LB_DEVICE_FILLUP") == "1":
+            write_frames(ms, add_frames_linear_interp_device(self.tree_final_imgs, target))
+        else:
+            write_frames_interp(ms, self.tree_final_imgs, target)
         ms.finalize()
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
 
@@ -1098,11 +1095,8 @@ class BlendingEngine:
         run_transition."""
         import os
 
-        from latentblending_tpu.video.frames import (
-            add_frames_linear_interp_device,
-            stream_frames_lazy,
-        )
-        from latentblending_tpu.video.writer import MovieSaver, write_frames
+        from latentblending_tpu.video.frames import add_frames_linear_interp_device
+        from latentblending_tpu.video.writer import MovieSaver, write_frames, write_frames_interp
 
         self._run_transition_core(recycle_img1, recycle_img2, fixed_seeds)
         target = int(round(fps * duration_transition))
@@ -1113,16 +1107,15 @@ class BlendingEngine:
                 return resolve_image(im, batch_cache)
 
         with self.timer.phase("movie_write"):
+            ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
             if os.environ.get("LB_DEVICE_FILLUP") == "1":
                 # device fill-up needs every keyframe resolved first — no
                 # overlap, but the lerp math rides the accelerator (right
                 # trade on fast-link TPU-VMs; see write_movie_transition)
                 self._resolve_keyframes(batch_cache)
-                frames = add_frames_linear_interp_device(self.tree_final_imgs, target)
+                write_frames(ms, add_frames_linear_interp_device(self.tree_final_imgs, target))
             else:
-                frames = stream_frames_lazy(self.tree_final_imgs, target, resolve)
-            ms = MovieSaver(fp_movie, fps=fps, shape_hw=(self.dh.height_img, self.dh.width_img))
-            write_frames(ms, frames)
+                write_frames_interp(ms, self.tree_final_imgs, target, resolve=resolve)
             ms.finalize()
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
         self._resolve_keyframes(batch_cache)

@@ -82,12 +82,10 @@ def _write_part(imgs: list, ms, target: int, errs: list):
     host, because relay waits release the GIL."""
     try:
         from latentblending_tpu.engine.blending import resolve_image
-        from latentblending_tpu.video.frames import stream_frames_lazy
-        from latentblending_tpu.video.writer import write_frames
+        from latentblending_tpu.video.writer import write_frames_interp
 
         batch_cache: dict = {}
-        frames = stream_frames_lazy(imgs, target, lambda im: resolve_image(im, batch_cache))
-        write_frames(ms, frames)
+        write_frames_interp(ms, imgs, target, resolve=lambda im: resolve_image(im, batch_cache))
         log.info(f"wrote {target} frames ({ms.nmb_frames} total)")
     except BaseException as e:  # re-raised on the main thread after join
         errs.append(e)

@@ -292,6 +292,28 @@ class MjpegMp4Writer:
                     self._free.append(buf2)
         self.nmb_frames += 1
 
+    def encode_frame(self, img: np.ndarray) -> bytes:
+        """Encode one uint8 HWC RGB frame to JPEG with this writer's exact
+        parameters (quality, libjpeg defaults) WITHOUT writing it — the
+        coefficient-lerp fast path needs the keyframes' JPEG bytes both as
+        samples and as interpolation endpoints."""
+        img = np.asarray(img)
+        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3, "expects uint8 HWC RGB"
+        if self._bgr is None or self._bgr.shape != img.shape:
+            self._bgr = np.empty_like(img)
+        return self._encode(img, self._bgr)
+
+    def write_encoded(self, jpg: bytes):
+        """Append an already-encoded JPEG sample. Drains any pooled pixel
+        encodes first so sample order always matches submission order."""
+        if self._f is None:
+            if self.shape_hw is None:
+                raise ValueError("write_encoded before shape is known — set shape_hw")
+            self._open(*self.shape_hw)
+        self._drain(block=True)
+        self._emit(jpg)
+        self.nmb_frames += 1
+
     def finalize(self):
         if self._f is None:
             return

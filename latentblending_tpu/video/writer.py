@@ -111,6 +111,24 @@ class MovieSaver:
             if not self._writer.isOpened():
                 raise RuntimeError(f"cv2.VideoWriter failed to open {self.fp_movie}")
 
+    def open_mjpeg(self):
+        """Open the backend now (shape_hw must already be known) and return
+        the MJPEG writer if that's the chosen backend, else None. Lets the
+        coefficient-lerp fast path commit to a backend before producing any
+        pixels."""
+        if self._writer is None and self._proc is None and self._mjpeg is None:
+            if self.shape_hw is None:
+                return None
+            self._open(*self.shape_hw)
+        return self._mjpeg
+
+    def write_encoded(self, jpg: bytes):
+        """Append an already-encoded JPEG sample (MJPEG backend only)."""
+        if self._mjpeg is None:
+            raise RuntimeError("write_encoded requires the MJPEG backend (call open_mjpeg first)")
+        self._mjpeg.write_encoded(jpg)
+        self.nmb_frames += 1
+
     def write_frame(self, img: np.ndarray):
         img = np.asarray(img)
         assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3, "expects uint8 HWC RGB"
@@ -211,6 +229,87 @@ def write_frames(ms: MovieSaver, frames, threaded: bool | None = None) -> None:
     th.join()
     if errs:
         raise errs[0]
+
+
+def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
+                        resolve=None, threaded: bool | None = None) -> None:
+    """Fill K keyframes up to nmb_frames_target frames and write the movie.
+
+    Fast path — JPEG coefficient-space interpolation: in-between frames are
+    lerps of two keyframes and the DCT is linear, so with the MJPEG backend
+    their JPEG samples can be produced by lerping the keyframes' quantized
+    DCT coefficients and running only the Huffman pass (native/
+    jpeg_coef_lerp.cpp) — no per-frame color convert, subsample or DCT.
+    Same quality setting, ~1.6x faster per frame on a single encode thread.
+
+    Gate (LB_COEF_LERP): "1" force on, "0" force off, unset/auto = on when
+    the backend is MJPEG and the host runs a single encode thread
+    (mjpeg_mp4.default_workers() == 0) — with spare cores the pooled pixel
+    path overlaps encodes across threads and wins instead (the coefficient
+    kernel shares one pair state per gap, so it is inherently serial).
+
+    Every other case (ffmpeg/cv2 backends, pooled hosts, incompatible
+    JPEG pairs) streams the pixel path: stream_frames_lazy + write_frames.
+    Keyframes are resolved lazily left-to-right in both paths, so encoding
+    overlaps in-flight device→host keyframe copies either way.
+    """
+    from .frames import stream_frames_lazy
+
+    if resolve is None:
+        resolve = lambda im: im  # noqa: E731
+    use_coef = False
+    if nmb_frames_target > len(handles):
+        gate = os.environ.get("LB_COEF_LERP", "auto")
+        if gate == "1":
+            use_coef = True
+        elif gate != "0":
+            from .mjpeg_mp4 import default_workers
+
+            use_coef = default_workers() == 0
+    JpegPair = None
+    if use_coef:
+        try:
+            from ._jpeg_lerp import JpegPair
+        except Exception:
+            JpegPair = None
+    mj = ms.open_mjpeg() if JpegPair is not None else None
+    if mj is None:
+        write_frames(ms, stream_frames_lazy(handles, nmb_frames_target, resolve), threaded=threaded)
+        return
+
+    from latentblending_tpu.ops.schedules import frame_insert_counts
+
+    from .frames import _lerp_u8, _native_lerp_into
+
+    K = len(handles)
+    counts = frame_insert_counts(K, nmb_frames_target)
+    cur = np.ascontiguousarray(np.asarray(resolve(handles[0])), dtype=np.uint8)
+    jcur = mj.encode_frame(cur)
+    ms.write_encoded(jcur)
+    buf = np.empty_like(cur)
+    for i in range(K - 1):
+        nxt = np.ascontiguousarray(np.asarray(resolve(handles[i + 1])), dtype=np.uint8)
+        jnxt = mj.encode_frame(nxt)
+        fracts = np.linspace(0, 1, counts[i] + 2)[1:-1]
+        try:
+            pair = JpegPair(jcur, jnxt)
+        except ValueError:  # incompatible pair — pixel-lerp this gap only
+            pair = None
+        if pair is not None:
+            try:
+                for f in fracts:
+                    ms.write_encoded(pair.lerp(float(f)))
+            finally:
+                pair.close()
+        elif _native_lerp_into is not None:
+            for f in fracts:
+                ms.write_frame(_native_lerp_into(cur, nxt, float(f), buf))
+        else:
+            cf, nf = cur.astype(np.float32), nxt.astype(np.float32)
+            for f in fracts:
+                ms.write_frame(_lerp_u8(cf, nf, float(f)))
+        ms.write_encoded(jnxt)
+        cur, jcur = nxt, jnxt
 
 
 def read_movie_frames(fp_movie: str) -> list[np.ndarray]:

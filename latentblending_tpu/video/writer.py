@@ -284,6 +284,9 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
     K = len(handles)
     counts = frame_insert_counts(K, nmb_frames_target)
     cur = np.ascontiguousarray(np.asarray(resolve(handles[0])), dtype=np.uint8)
+    if cur.shape[:2] != tuple(ms.shape_hw):
+        # write_encoded bypasses the per-frame shape check of the pixel path
+        raise ValueError(f"keyframe shape {cur.shape[:2]} != movie shape {ms.shape_hw}")
     jcur = mj.encode_frame(cur)
     ms.write_encoded(jcur)
     buf = np.empty_like(cur)

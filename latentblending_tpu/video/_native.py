@@ -16,7 +16,7 @@ _SO = os.path.join(_NATIVE_DIR, "libframeinterp.so")
 
 
 def _rebuild():
-    subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"], check=True, capture_output=True)
+    subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B", "libframeinterp.so"], check=True, capture_output=True)
 
 
 def _load():

@@ -133,20 +133,20 @@ def time_based_branching_plan(
 
 
 def get_closest_idx(fract_mixing: float, tree_fracts: list[float]) -> tuple[int, int]:
-    """Indices of the two tree entries bracketing fract_mixing.
+    """Indices of the two ADJACENT tree entries bracketing fract_mixing.
 
-    Reference: blending_engine.py:767-789.
+    Reference: blending_engine.py:767-789 — but computed by bisection on
+    the sorted fract list (an engine invariant) instead of the reference's
+    argmin over signed distances, which returns a NON-adjacent pair when
+    two fracts are so close that subtracting them from the query rounds to
+    the same float (hypothesis-found), and pairs (0, last) for a query at
+    exactly 1.0. Exact-hit semantics match the reference: a query equal to
+    tree_fracts[k] brackets as (k, k+1).
     """
-    pdist = fract_mixing - np.asarray(tree_fracts)
-    pdist_pos = pdist.copy()
-    pdist_pos[pdist_pos < 0] = np.inf
-    b_parent1 = int(np.argmin(pdist_pos))
-    pdist_neg = -pdist.copy()
-    pdist_neg[pdist_neg <= 0] = np.inf
-    b_parent2 = int(np.argmin(pdist_neg))
-    if b_parent1 > b_parent2:
-        b_parent1, b_parent2 = b_parent2, b_parent1
-    return b_parent1, b_parent2
+    arr = np.asarray(tree_fracts)
+    hi = int(np.searchsorted(arr, fract_mixing, side="right"))
+    hi = min(max(hi, 1), len(arr) - 1)
+    return hi - 1, hi
 
 
 def frame_insert_counts(nmb_keyframes: int, nmb_frames_target: int) -> np.ndarray:

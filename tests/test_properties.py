@@ -5,7 +5,7 @@ test_interp.py over the whole legal input domain (SURVEY.md §4 unit tier).
 """
 import jax.numpy as jnp
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from latentblending_tpu.ops.interp import interpolate_spherical
@@ -100,6 +100,7 @@ def test_frame_insert_counts_exact_and_even(keyframes, target):
     ),
     q=st.floats(0.001, 0.999),
 )
+@example(interior=[0.001, 0.0010000000000000002], q=0.5)  # 1-ulp-apart fracts
 def test_get_closest_idx_brackets(interior, q):
     # engine invariant: the fract tree always spans [0, 1] (the two edge
     # keyframes exist before any stem is placed) and queries are interior

@@ -90,7 +90,8 @@ def make_handler(router, file_root: str, max_tokens_per_user: int = 256):
                 return self._json(200, {"ok": True, "models": router.list_models})
             if path.startswith("/files/"):
                 token = urllib.parse.unquote(path[len("/files/"):])
-                entry = served.get(token)
+                with served_lock:
+                    entry = served.get(token)
                 if entry is None or entry[0] not in router.sessions:
                     return self._json(403, {"error": "forbidden"})
                 fp = entry[1]

@@ -436,6 +436,67 @@ class BlendingEngine:
         self._finalize_report()
         return self.tree_final_imgs
 
+    def extend_transition(self, list_idx_injection, list_nmb_stems):
+        """Deepen the CURRENT tree with additional stem levels — no existing
+        trajectory is recomputed (incremental deepening; the tree-cache
+        resume surface promised by engine/tree_cache.py). Valid after
+        run_transition() on this engine or after tree_cache.load_tree();
+        each new stem costs only its N − idx_injection denoise steps.
+
+        Placement follows the engine's placement_policy against the live
+        gap similarities, so run([a]) + extend([b]) produces the same tree
+        as run([a, b]) for deterministic solvers (tests/test_tree_cache.py).
+        Returns the (extended) keyframe list like run_transition."""
+        assert (
+            len(self.tree_latents) >= 2
+            and len(self.tree_fracts) == len(self.tree_latents)
+            and all(lat is not None for lat in self.tree_latents)
+        ), "extend_transition needs an existing tree — run_transition() or load_tree() first"
+        N = self.num_inference_steps
+        list_idx_injection = [int(i) for i in list_idx_injection]
+        list_nmb_stems = [int(n) for n in list_nmb_stems]
+        assert len(list_idx_injection) == len(list_nmb_stems)
+        for idx in list_idx_injection:
+            assert 1 <= idx < N, f"idx_injection {idx} outside [1, {N - 1}]"
+
+        self.timer = PhaseTimer()
+        self.last_report = TransitionReport(num_steps=N)
+        self._t_run0 = time.time()
+        # a previous run's deferred similarity pass (or a stale list after
+        # load_tree) must land before placement consumes it
+        if getattr(self, "_sims_pending", None) is not None:
+            self.tree_similarities = np.asarray(self._sims_pending, np.float64).tolist()
+            self._sims_pending = None
+        predictive = self.placement_policy == "predictive" and self.stem_batch == 0
+        if len(self.tree_similarities) != len(self.tree_fracts) - 1:
+            self.tree_similarities = (
+                [1.0] * (len(self.tree_fracts) - 1) if predictive else self._batched_similarities()
+            )
+
+        stem_batch = self.stem_batch
+        n_levels = len(list_idx_injection)
+        for s_idx in range(n_levels):
+            nmb_stems = list_nmb_stems[s_idx]
+            idx_injection = list_idx_injection[s_idx]
+            batch = nmb_stems if stem_batch == 0 else stem_batch
+            t_lvl = time.time()
+            done = 0
+            while done < nmb_stems:
+                k = min(batch, nmb_stems - done)
+                is_last = s_idx == n_levels - 1 and done + k >= nmb_stems
+                self._run_stem_round(
+                    k, idx_injection, defer_sims=is_last,
+                    predicted=predictive, sync=(not predictive) or is_last,
+                )
+                done += k
+            self.last_report.levels.append(
+                {"idx_injection": int(idx_injection), "stems": int(nmb_stems),
+                 "extended": True, "wall_s": round(time.time() - t_lvl, 3)}
+            )
+        self._resolve_keyframes()
+        self._finalize_report()
+        return self.tree_final_imgs
+
     def _run_transition_core(
         self,
         recycle_img1: Optional[bool] = False,
@@ -902,7 +963,6 @@ class BlendingEngine:
             # keyframes left-to-right, so splitting the transfer lets frame
             # encoding of early gaps overlap the copies of later ones
             # (single-chunk behavior with LB_FETCH_CHUNK >= k)
-            import os
 
             csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
             chunk_of: dict[int, tuple[jax.Array, int]] = {}
@@ -1040,7 +1100,6 @@ class BlendingEngine:
     # ---------------------------------------------------------------- output
 
     def write_imgs_transition(self, dp_img: str):
-        import os
 
         from PIL import Image
 
@@ -1052,7 +1111,6 @@ class BlendingEngine:
         yml_save(os.path.join(dp_img, "lowres.yaml"), self.get_state_dict())
 
     def write_movie_transition(self, fp_movie: str, duration_transition: float, fps: int = 30):
-        import os
 
         from latentblending_tpu.video.frames import add_frames_linear_interp_device
         from latentblending_tpu.video.writer import MovieSaver, write_frames, write_frames_interp
@@ -1093,7 +1151,6 @@ class BlendingEngine:
         Frame output is identical to the two-call path (byte-compared in
         tests/test_streaming_movie.py). Returns the keyframe list like
         run_transition."""
-        import os
 
         from latentblending_tpu.video.frames import add_frames_linear_interp_device
         from latentblending_tpu.video.writer import MovieSaver, write_frames, write_frames_interp

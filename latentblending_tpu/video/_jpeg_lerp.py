@@ -62,6 +62,9 @@ class JpegPair:
     """
 
     def __init__(self, jpg_a: bytes, jpg_b: bytes):
+        # set before the ctypes call: if jl_pair_open raises (e.g.
+        # ArgumentError on a non-bytes input), __del__ still finds _p
+        self._p = None
         self._p = _lib.jl_pair_open(jpg_a, len(jpg_a), jpg_b, len(jpg_b))
         if not self._p:
             # geometry / sampling / quant-table mismatch, or parse failure
@@ -79,9 +82,13 @@ class JpegPair:
             _lib.jl_free(out)
 
     def close(self):
-        if self._p:
-            _lib.jl_pair_close(self._p)
-            self._p = None
+        # getattr + module-global guard: __del__ may run after a failed
+        # __init__ or during interpreter teardown when _lib is already None
+        p = getattr(self, "_p", None)
+        lib = globals().get("_lib")
+        if p and lib is not None:
+            lib.jl_pair_close(p)
+        self._p = None
 
     def __enter__(self):
         return self

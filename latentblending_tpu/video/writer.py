@@ -292,6 +292,11 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
     buf = np.empty_like(cur)
     for i in range(K - 1):
         nxt = np.ascontiguousarray(np.asarray(resolve(handles[i + 1])), dtype=np.uint8)
+        if nxt.shape != cur.shape:
+            # guard BOTH the encoded path (write_encoded skips the pixel
+            # shape check) and the native lerp fallback (which trusts
+            # cur.size and would read out of bounds on a smaller nxt)
+            raise ValueError(f"keyframe {i + 1} shape {nxt.shape} != movie keyframe shape {cur.shape}")
         jnxt = mj.encode_frame(nxt)
         fracts = np.linspace(0, 1, counts[i] + 2)[1:-1]
         try:

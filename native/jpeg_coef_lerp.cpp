@@ -23,6 +23,11 @@
 
 #include <jpeglib.h>
 
+// the flat copies below memcpy JCOEF rows into int16_t storage and index
+// them as int16_t; libjpeg only guarantees JCOEF is *at least* 16 bits
+static_assert(sizeof(JCOEF) == sizeof(int16_t),
+              "JCOEF must be 16-bit for the flat coefficient copies");
+
 namespace {
 
 struct ErrMgr {

@@ -1,21 +1,27 @@
-"""Benchmark: latent-blending transition → 12 s movie, end-to-end.
+"""Benchmark: latent-blending transitions → movies, end-to-end.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": frames/sec end-to-end, "unit": "frames/sec",
-   "vs_baseline": x-realtime}
+No-arg invocation prints ONE JSON line PER BASELINE config (primary first):
+
+  1. sdxl-turbo   512², 4 steps, 10 branches → 12 s movie   (headline)
+  2. chained      4 prompts × 4 s on SDXL-Turbo, one stitched 12 s movie
+                  (BASELINE config 4, example_multi_trans.py)
+  3. sdxl-base    1024², 30 steps, CFG 4.0, nmb_max_branches=10 → 12 s
+                  movie (BASELINE config 2)
+  4. sdxl-base-fast  the composed accelerators: placement_policy=
+                  'predictive' + DPM++(2M) 15-step (both individually
+                  fidelity-bounded, BENCH.md)
+
+A total-runtime guard (LB_BENCH_TOTAL_S, default 2700 s) skips the
+remaining configs when the budget is spent — the turbo line always runs.
+Every line is printed as soon as its config finishes.
+
+LB_BENCH_SPEC=sdxl-turbo|sdxl-base|tiny-turbo selects ONE config with the
+legacy knobs (LB_BENCH_STEPS / LB_BENCH_SCHED / LB_BENCH_BUDGET /
+LB_BENCH_BRANCHES / LB_PLACEMENT) — used by tools/ and BENCH.md A/Bs.
 
 Baseline anchor (BASELINE.md): the reference claims transitions render
-"faster than they are typically played back" — i.e. real time is the bar.
+"faster than they are typically played back" — real time is the bar.
 vs_baseline = (movie seconds) / (wall seconds): 1.0 == real time.
-
-Configs (BASELINE.json):
-  default              SDXL-Turbo 512², 4 steps, 10 branches (config "turbo")
-  LB_BENCH_SPEC=sdxl-base   SDXL-base 1024², 30 steps, CFG 4.0,
-                            nmb_max_branches=10 (BASELINE config 2 — a FIXED
-                            workload; budget mode fills its 20 s wall by
-                            construction so it can't show speedups).
-                            LB_BENCH_BUDGET=20 switches to budget mode.
-  LB_BENCH_SPEC=tiny-turbo  fast smoke run
 
 Weights: random-initialized full architecture (2.6B-param UNet, real
 VAE/CLIP towers). Throughput is weight-value independent, so the perf
@@ -27,8 +33,10 @@ MFU: denoise-phase FLOPs come from XLA's cost_analysis on every compiled
 denoise executable (runtime/denoise.py DenoiseRunner.plan_flops);
 mfu = executed_flops / denoise_wall / peak_flops(device).
 """
+import gc
 import json
 import os
+import sys
 import time
 
 import jax
@@ -44,6 +52,12 @@ from latentblending_tpu.runtime.holder import SDXLHolder
 
 DURATION_S = 12.0
 FPS = 30
+PROMPTS = [
+    "photo of underwater landscape, fish, und the sea, incredible detail",
+    "rendering of an alien planet, strange plants, strange creatures",
+    "a painting of a vast desert under two suns, surreal",
+    "macro photo of a dew-covered spider web at dawn",
+]
 
 # dense bf16 peak FLOP/s per chip, by device_kind substring
 PEAK_FLOPS = [
@@ -71,14 +85,11 @@ def _make_mesh_if_multichip():
     return auto_mesh()
 
 
-def main():
-    spec = os.environ.get("LB_BENCH_SPEC", "sdxl-turbo")
-    snapshot = os.environ.get("LB_SNAPSHOT")
-    # fail fast instead of hanging forever if the TPU relay is down. A
-    # SIGALRM handler can't preempt a blocked C++ PJRT init (no bytecode
-    # runs), so probe backend init in a subprocess with a hard timeout.
+def _probe_backend():
+    """Fail fast instead of hanging forever if the TPU relay is down. A
+    SIGALRM handler can't preempt a blocked C++ PJRT init (no bytecode
+    runs), so probe backend init in a subprocess with a hard timeout."""
     import subprocess
-    import sys
 
     try:
         subprocess.run(
@@ -89,12 +100,114 @@ def main():
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
         print(f"bench: TPU backend init failed/timed out (relay down?): {type(e).__name__}", file=sys.stderr)
         raise SystemExit(3)
-    mesh = _make_mesh_if_multichip()
-    t_setup = time.time()
+
+
+def _make_holder(spec: str, mesh):
+    snapshot = os.environ.get("LB_SNAPSHOT")
     if snapshot:
-        dh = SDXLHolder.from_pretrained(snapshot, mesh=mesh)
-    else:
-        dh = SDXLHolder.from_random(spec, dtype=jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32, mesh=mesh)
+        return SDXLHolder.from_pretrained(snapshot, mesh=mesh), "snapshot"
+    dtype = jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32
+    return SDXLHolder.from_random(spec, dtype=dtype, mesh=mesh), "random-init"
+
+
+def _result_line(label, wall, n_frames, be, dh, mesh, weights, setup_s,
+                 denoise_flops, pred=None, extra=None) -> dict:
+    denoise_wall = (be.last_report.phases or {}).get("denoise", {}).get("total_s", 0.0)
+    t_transition = wall - (be.last_report.phases or {}).get("movie_write", {}).get("total_s", 0.0)
+    peak = _peak_flops()
+    mfu = None
+    if peak and denoise_wall > 0 and denoise_flops > 0:
+        mfu = denoise_flops / denoise_wall / peak
+    movie_s = n_frames / FPS
+    detail = {
+        "spec": dh.spec.name,
+        "wall_s": round(wall, 3),
+        "transition_s": round(t_transition, 3),
+        "keyframes": len(be.tree_final_imgs),
+        "dt_unet_step_s": round(be.dt_unet_step, 4),
+        "phases": be.last_report.phases,
+        "denoise_tflops": round(denoise_flops / 1e12, 2),
+        "mfu_denoise": round(mfu, 4) if mfu is not None else None,
+        "branching": {"idx_injection": be.list_idx_injection, "nmb_stems": be.list_nmb_stems},
+        "setup_s": round(setup_s, 1),
+        "device": str(jax.devices()[0]),
+        "n_devices": len(jax.devices()),
+        "mesh": str(dict(mesh.shape)) if mesh is not None else None,
+        "weights": weights,
+        "similarity_metric": be.similarity_metric,
+        "placement_policy": be.placement_policy,
+    }
+    if pred is not None:
+        detail["planner_predicted_s"] = round(pred["t_predicted_s"], 2)
+        detail["planner_path"] = pred["path"]
+        detail["planner_vs_actual"] = round(pred["t_predicted_s"] / t_transition, 2) if t_transition > 0 else None
+    if extra:
+        detail.update(extra)
+    return {
+        "metric": f"{label} transition→{movie_s:.0f}s movie, end-to-end frames/sec/chip",
+        "value": round(n_frames / wall, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(movie_s / wall, 3),
+        "detail": detail,
+    }
+
+
+def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) -> dict:
+    """Warm-up + timed fused transition→movie run (one transition)."""
+    be.set_prompt1(PROMPTS[0])
+    be.set_prompt2(PROMPTS[1])
+    be.set_negative_prompt("blurry, ugly, pale")
+
+    # warm-up: compile every denoise/decode/fill-up variant the run uses
+    be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+
+    # planner honesty: cost-model prediction BEFORE the timed run
+    # (calibrations come from the warm-up run only)
+    pred = be.predict_transition_time()
+
+    flops0 = dh.runner.executed_flops
+    t0 = time.time()
+    be.run_movie_transition("/tmp/lb_bench_movie.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+    wall = time.time() - t0
+    return _result_line(
+        label, wall, int(round(duration * FPS)), be, dh, mesh, weights, setup_s,
+        dh.runner.executed_flops - flops0, pred=pred,
+    )
+
+
+def _bench_chained(dh, be, mesh, weights, setup_s, dur_each=4.0) -> dict:
+    """4-prompt chained movie (BASELINE config 4 — reference
+    example_multi_trans.py:39-62): K−1 transitions with latent recycling
+    streamed into ONE writer."""
+    from latentblending_tpu.engine.session import Keyframe, MovieProject, run_multi_transition
+
+    project = MovieProject(
+        keyframes=[Keyframe(prompt=p, seed=420 + i) for i, p in enumerate(PROMPTS)],
+        width=dh.width_img, height=dh.height_img,
+        num_inference_steps=dh.num_inference_steps,
+    )
+    be.set_negative_prompt("blurry, ugly, pale")
+    # warm-up: the recycled-edge (windowed) fused variant compiles here
+    run_multi_transition(be, project, "/tmp/lb_bench_chain_warmup.mp4",
+                         duration_single_trans=dur_each, fps=FPS)
+    flops0 = dh.runner.executed_flops
+    t0 = time.time()
+    run_multi_transition(be, project, "/tmp/lb_bench_chain.mp4",
+                         duration_single_trans=dur_each, fps=FPS)
+    wall = time.time() - t0
+    n_frames = int(round(dur_each * FPS)) * (len(PROMPTS) - 1)
+    return _result_line(
+        "SDXL-Turbo 512x512 4-prompt chained", wall, n_frames, be, dh, mesh, weights, setup_s,
+        dh.runner.executed_flops - flops0,
+        extra={"transitions": len(PROMPTS) - 1, "duration_each_s": dur_each},
+    )
+
+
+def _legacy_single_spec(mesh):
+    """LB_BENCH_SPEC mode: one config with the legacy env knobs."""
+    spec = os.environ["LB_BENCH_SPEC"]
+    t_setup = time.time()
+    dh, weights = _make_holder(spec, mesh)
     sched = os.environ.get("LB_BENCH_SCHED")
     if sched:
         dh.set_scheduler_type(sched)
@@ -110,79 +223,80 @@ def main():
             be.set_branching(nmb_max_branches=int(os.environ.get("LB_BENCH_BRANCHES", "10")))
     if os.environ.get("LB_PLACEMENT") in ("measured", "predictive"):
         be.placement_policy = os.environ["LB_PLACEMENT"]
-    be.set_prompt1("photo of underwater landscape, fish, und the sea, incredible detail")
-    be.set_prompt2("rendering of an alien planet, strange plants, strange creatures")
-    be.set_negative_prompt("blurry, ugly, pale")
     setup_s = time.time() - t_setup
-
-    # warm-up: compile every denoise/decode/fill-up variant the run uses
-    be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=DURATION_S, fps=FPS, fixed_seeds=[420, 421])
-
-    # fused transition+write (run_movie_transition): encoding overlaps the
-    # keyframe device→host copies and the final similarity pass
-    fp_movie = "/tmp/lb_bench_movie.mp4"
-    flops0 = dh.runner.executed_flops
-    t0 = time.time()
-    be.run_movie_transition(fp_movie, duration_transition=DURATION_S, fps=FPS, fixed_seeds=[420, 421])
-    wall = time.time() - t0
-    t_transition = wall - (be.last_report.phases or {}).get("movie_write", {}).get("total_s", 0.0)
-
-    denoise_flops = dh.runner.executed_flops - flops0
-    denoise_wall = (be.last_report.phases or {}).get("denoise", {}).get("total_s", 0.0)
-    peak = _peak_flops()
-    mfu = None
-    if peak and denoise_wall > 0 and denoise_flops > 0:
-        mfu = denoise_flops / denoise_wall / peak
-
-    # budget-planner honesty check (VERDICT #6): what the cost model
-    # promised vs what the transition actually took
-    from latentblending_tpu.ops.schedules import time_based_branching_plan  # noqa: F401
-
-    steps_exec = sum(
-        (be.num_inference_steps - idx) * n
-        for idx, n in zip(be.list_idx_injection, be.list_nmb_stems)
-    )
-    t_predicted = (
-        steps_exec * be.dt_unet_step
-        + be.dt_vae * sum(be.list_nmb_stems)
-        + 2 * (be.num_inference_steps * be.dt_unet_step + be.dt_vae)
-    )
-
-    n_frames = DURATION_S * FPS
-    fps_e2e = n_frames / wall
     label = {
         "sdxl-turbo": "SDXL-Turbo 512x512",
         "sdxl-base": f"SDXL-base 1024x1024 {be.num_inference_steps}-step",
     }.get(dh.spec.name, dh.spec.name)
     if sched:
         label += f" ({sched})"
-    result = {
-        "metric": f"{label} transition→12s movie, end-to-end frames/sec/chip",
-        "value": round(fps_e2e, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(DURATION_S / wall, 3),
-        "detail": {
-            "spec": dh.spec.name,
-            "wall_s": round(wall, 3),
-            "transition_s": round(t_transition, 3),
-            "keyframes": len(be.tree_final_imgs),
-            "dt_unet_step_s": round(be.dt_unet_step, 4),
-            "phases": be.last_report.phases,
-            "denoise_tflops": round(denoise_flops / 1e12, 2),
-            "mfu_denoise": round(mfu, 4) if mfu is not None else None,
-            "planner_predicted_s": round(t_predicted, 2),
-            "planner_vs_actual": round(t_predicted / t_transition, 2) if t_transition > 0 else None,
-            "branching": {"idx_injection": be.list_idx_injection, "nmb_stems": be.list_nmb_stems},
-            "setup_s": round(setup_s, 1),
-            "device": str(jax.devices()[0]),
-            "n_devices": len(jax.devices()),
-            "mesh": str(dict(mesh.shape)) if mesh is not None else None,
-            "weights": "snapshot" if snapshot else "random-init",
-            "similarity_metric": be.similarity_metric,
-            "placement_policy": be.placement_policy,
-        },
-    }
-    print(json.dumps(result))
+    print(json.dumps(_bench_single(dh, be, label, mesh, weights, setup_s)), flush=True)
+
+
+def main():
+    _probe_backend()
+    mesh = _make_mesh_if_multichip()
+    if os.environ.get("LB_BENCH_SPEC"):
+        _legacy_single_spec(mesh)
+        return
+
+    t_start = time.time()
+    deadline = t_start + float(os.environ.get("LB_BENCH_TOTAL_S", "2700"))
+
+    # ---- 1. SDXL-Turbo headline (always runs; printed first)
+    t_setup = time.time()
+    dh, weights = _make_holder("sdxl-turbo", mesh)
+    be = BlendingEngine(dh)
+    setup_s = time.time() - t_setup
+    print(json.dumps(_bench_single(dh, be, "SDXL-Turbo 512x512", mesh, weights, setup_s)), flush=True)
+
+    # ---- 2. 4-prompt chained on the SAME holder/engine (cheap)
+    if time.time() < deadline:
+        try:
+            print(json.dumps(_bench_chained(dh, be, mesh, weights, setup_s)), flush=True)
+        except Exception as e:
+            print(f"bench: chained config failed: {type(e).__name__}: {e}", file=sys.stderr)
+    else:
+        print("bench: budget spent — skipping chained config", file=sys.stderr)
+
+    del be, dh
+    gc.collect()
+
+    # ---- 3. SDXL-base 1024² 30-step (BASELINE config 2)
+    be = dh = None
+    if time.time() < deadline:
+        try:
+            t_setup = time.time()
+            dh, weights = _make_holder("sdxl-base", mesh)
+            be = BlendingEngine(dh)
+            be.set_branching(nmb_max_branches=10)
+            setup_s = time.time() - t_setup
+            print(json.dumps(_bench_single(dh, be, "SDXL-base 1024x1024 30-step", mesh, weights, setup_s)), flush=True)
+        except Exception as e:
+            print(f"bench: sdxl-base config failed: {type(e).__name__}: {e}", file=sys.stderr)
+    else:
+        print("bench: budget spent — skipping sdxl-base config", file=sys.stderr)
+
+    # ---- 4. SDXL-base composed accelerators (predictive + DPM++(2M) 15-step)
+    if dh is not None and time.time() < deadline:
+        try:
+            t_setup = time.time()
+            dh.set_scheduler_type("dpmpp_2m")
+            # benchmark AFTER the step-count switch so the calibration pass
+            # compiles the exact 15-step variants the run uses
+            be = BlendingEngine(dh, run_benchmark=False)
+            be.set_num_inference_steps(15)
+            be.placement_policy = "predictive"
+            be.benchmark_speed()
+            be.set_branching(nmb_max_branches=10)
+            setup_s = time.time() - t_setup
+            print(json.dumps(_bench_single(
+                dh, be, "SDXL-base 1024x1024 fast (predictive+dpmpp_2m 15-step)",
+                mesh, weights, setup_s)), flush=True)
+        except Exception as e:
+            print(f"bench: sdxl-base-fast config failed: {type(e).__name__}: {e}", file=sys.stderr)
+    elif dh is not None:
+        print("bench: budget spent — skipping sdxl-base-fast config", file=sys.stderr)
 
 
 if __name__ == "__main__":

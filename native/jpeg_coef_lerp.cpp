@@ -186,4 +186,79 @@ void jl_free(uint8_t* buf) { free(buf); }
 
 void jl_pair_close(JLPair* p) { delete p; }
 
+// Encodes a packed I420 frame (Y[h][w] ++ Cb[h/2][w/2] ++ Cr[h/2][w/2],
+// JFIF full-range BT.601) straight into a baseline JPEG via libjpeg's
+// raw-data mode — the color conversion and 4:2:0 subsampling already
+// happened on the accelerator (holder.to_i420_device), so this skips the
+// RGB→YCbCr convert + downsample passes entirely (and the keyframe
+// device→host transfer is 1.5 B/px instead of 3). Output uses the default
+// 2x2,1x1,1x1 sampling and jpeg_set_quality tables, i.e. the exact
+// parameters of the pixel-path encoder — the coefficient-lerp pair check
+// accepts mixed pairs. Requires width % 16 == 0 (chroma rows must fill
+// whole DCT blocks; raw-data mode does not column-pad) and even height;
+// rows are replicated to fill the final iMCU row. Returns 0 on success,
+// 1 on unsupported geometry; buffer is malloc'd — free with jl_free.
+int jl_encode_i420(const uint8_t* i420, int width, int height, int quality,
+                   uint8_t** out, size_t* outn) {
+  *out = nullptr;
+  *outn = 0;
+  if (width <= 0 || height <= 0 || width % 16 != 0 || height % 2 != 0) return 1;
+  const uint8_t* y = i420;
+  const uint8_t* cb = y + static_cast<size_t>(width) * height;
+  const uint8_t* cr = cb + static_cast<size_t>(width / 2) * (height / 2);
+
+  jpeg_compress_struct c{};
+  ErrMgr err{};
+  c.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = error_exit;
+  err.mgr.emit_message = emit_nothing;
+  unsigned char* buf = nullptr;
+  unsigned long bufn = 0;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_compress(&c);
+    if (buf) free(buf);
+    return 2;
+  }
+  jpeg_create_compress(&c);
+  jpeg_mem_dest(&c, &buf, &bufn);
+  c.image_width = static_cast<JDIMENSION>(width);
+  c.image_height = static_cast<JDIMENSION>(height);
+  c.input_components = 3;
+  c.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&c);
+  jpeg_set_quality(&c, quality, TRUE);
+  c.raw_data_in = TRUE;
+  c.comp_info[0].h_samp_factor = 2;
+  c.comp_info[0].v_samp_factor = 2;
+  c.comp_info[1].h_samp_factor = 1;
+  c.comp_info[1].v_samp_factor = 1;
+  c.comp_info[2].h_samp_factor = 1;
+  c.comp_info[2].v_samp_factor = 1;
+  c.optimize_coding = FALSE;
+  jpeg_start_compress(&c, TRUE);
+  const int ch = height / 2, cw = width / 2;
+  JSAMPROW yr[16], cbr[8], crr[8];
+  JSAMPARRAY planes[3] = {yr, cbr, crr};
+  while (c.next_scanline < c.image_height) {
+    const int base = static_cast<int>(c.next_scanline);
+    for (int i = 0; i < 16; ++i) {
+      int r = base + i;
+      if (r >= height) r = height - 1;  // replicate-pad the last iMCU row
+      yr[i] = const_cast<JSAMPROW>(y + static_cast<size_t>(r) * width);
+    }
+    for (int i = 0; i < 8; ++i) {
+      int r = base / 2 + i;
+      if (r >= ch) r = ch - 1;
+      cbr[i] = const_cast<JSAMPROW>(cb + static_cast<size_t>(r) * cw);
+      crr[i] = const_cast<JSAMPROW>(cr + static_cast<size_t>(r) * cw);
+    }
+    jpeg_write_raw_data(&c, planes, 16);
+  }
+  jpeg_finish_compress(&c);
+  jpeg_destroy_compress(&c);
+  *out = buf;
+  *outn = bufn;
+  return 0;
+}
+
 }  // extern "C"

@@ -51,7 +51,10 @@ def engine():
     return be
 
 
-def test_fused_movie_identical_to_two_call_path(engine, tmp_path):
+def test_fused_movie_identical_to_two_call_path(engine, tmp_path, monkeypatch):
+    # RGB keyframe fetch for strict byte equality with the two-call path;
+    # the default I420 fetch is a bounded deviation tested in test_i420.py
+    monkeypatch.setenv("LB_KEYFRAME_I420", "0")
     fp_a = str(tmp_path / "two_call.mp4")
     fp_b = str(tmp_path / "fused.mp4")
 

@@ -126,13 +126,20 @@ def self_check(args):
         dh = SDXLHolder.from_random(args.spec, dtype=jnp.bfloat16 if args.spec.startswith("sdxl") else jnp.float32)
     # this measures PLACEMENT-POLICY drift; under euler_ancestral the two
     # runs would also differ by per-call solver noise (batched = 1 call,
-    # sequential = k calls) — force the deterministic solver for an
-    # apples-to-apples comparison
-    dh.set_scheduler_type("euler")
+    # sequential = k calls) — default to the deterministic euler solver for
+    # an apples-to-apples comparison. --scheduler dpmpp_2m (deterministic
+    # too) bounds the COMPOSED fast config: both runs use the same solver,
+    # isolating placement drift given it.
+    scheduler = getattr(args, "scheduler", "euler")
+    assert scheduler != "euler_ancestral", "ancestral noise confounds the policy comparison"
+    dh.set_scheduler_type(scheduler)
+    steps = getattr(args, "steps", None)
 
     def run(stem_batch, placement_policy="measured"):
         be = BlendingEngine(dh, stem_batch=stem_batch, similarity_metric="nlpd")
         be.placement_policy = placement_policy
+        if steps:
+            be.set_num_inference_steps(int(steps))
         be.set_prompt1(args.prompt1)
         be.set_prompt2(args.prompt2)
         if not dh.is_sdxl_turbo:
@@ -191,6 +198,11 @@ def main():
         "--policy", default="batched", choices=["batched", "predictive"],
         help="candidate policy to score against the reference argmax policy",
     )
+    s.add_argument(
+        "--scheduler", default="euler", choices=["euler", "dpmpp_2m"],
+        help="solver BOTH runs use (deterministic only) — dpmpp_2m bounds the composed fast config",
+    )
+    s.add_argument("--steps", type=int, default=None, help="override num_inference_steps for both runs")
     args = p.parse_args()
     if args.cmd == "make-goldens":
         make_goldens(args)

@@ -158,11 +158,19 @@ def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) ->
     be.set_prompt2(PROMPTS[1])
     be.set_negative_prompt("blurry, ugly, pale")
 
-    # warm-up: compile every denoise/decode/fill-up variant the run uses
+    # warm-up: compile every denoise/decode/fill-up variant the run uses.
+    # The FIRST warm-up is cold (compiling), so it records no calibration
+    # (dt_unet_step_fused / per-batch step costs only update on warm runs);
+    # re-warm until the cost model has real measured inputs so the reported
+    # planner_vs_actual scores the model, not its placeholder fallbacks.
     be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+    for _ in range(2):
+        if be.planner_calibrated():
+            break
+        be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
 
     # planner honesty: cost-model prediction BEFORE the timed run
-    # (calibrations come from the warm-up run only)
+    # (calibrations come from the warm-up runs only)
     pred = be.predict_transition_time()
 
     flops0 = dh.runner.executed_flops

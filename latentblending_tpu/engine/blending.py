@@ -208,6 +208,11 @@ class BlendingEngine:
         # every synced warm round — per-row cost is NOT batch-independent
         # (B=1 rounds run at lower MFU than B=4; BENCH.md B-sweep)
         self._dt_step_by_batch: dict[int, float] = {}
+        # fused path's output-dispatch tail (decode + chunked keyframe-fetch
+        # + similarity dispatches): host wall between the scan landing and
+        # the movie writer being able to start. Non-trivial on relay
+        # transports (~0.2 s); None until a warm fused run observes it.
+        self._dt_fused_output: Optional[float] = None
         if run_benchmark is None:
             # turbo's branching plan never consumes the timings (reference
             # blending_engine.py:273-283) — skip a whole compiled variant
@@ -381,7 +386,11 @@ class BlendingEngine:
         ):
             B = (1 if recycled1 else 2) + plan_stems[0]
             dtf = self.dt_unet_step_fused if self.dt_unet_step_fused is not None else self.dt_unet_step
-            t_fused = N * B * dtf + sync
+            # dtf's measurement window includes the scan's own sync; the
+            # remaining blocking term is the output-dispatch tail (decode +
+            # chunked fetch dispatches) the writer start waits for
+            out = self._dt_fused_output if self._dt_fused_output is not None else sync
+            t_fused = N * B * dtf + out
 
         gate = os.environ.get("LB_FUSED", "auto")
         if t_fused is None or gate == "0":
@@ -396,6 +405,27 @@ class BlendingEngine:
             "t_fused_s": t_fused,
             "t_per_level_s": t_pl,
         }
+
+    def planner_calibrated(self, recycled1: bool = False) -> bool:
+        """Whether predict_transition_time's ACTIVE path has real measured
+        inputs — a warm fused run (dt_unet_step_fused + the output-dispatch
+        tail), or observed per-batch step costs for every round size of the
+        current plan plus the sync round-trip — instead of placeholder
+        fallbacks. Benchmarks re-warm until this is True so the reported
+        planner_vs_actual scores the model, not its fallbacks."""
+        p = self.predict_transition_time(recycled1=recycled1)
+        if p["path"] == "fused":
+            return self.dt_unet_step_fused is not None and self._dt_fused_output is not None
+        sizes = {1 if recycled1 else 2}  # the edge batch
+        for n in self.list_nmb_stems:
+            n = int(n)
+            batch = n if self.stem_batch == 0 else self.stem_batch
+            done = 0
+            while done < n:
+                k = min(batch, n - done)
+                sizes.add(k)
+                done += k
+        return self.dt_sync is not None and all(b in self._dt_step_by_batch for b in sizes)
 
     def _fused_predicted_faster(self, recycled1: bool) -> bool:
         """Auto-gate arbitration (LB_FUSED unset): pick fused vs per-level
@@ -880,6 +910,7 @@ class BlendingEngine:
         # ONE batched decode for edges + stems together; when recycled,
         # edge 1's final latent joins the batch so its keyframe image is
         # rebuilt without a separate call (swap_forward cleared it)
+        t_out0 = time.time()
         sorted_stems = sorted(range(k), key=lambda i: fracts[i])
         finals = traj[-1] if not recycled1 else jnp.concatenate([win_stack[-1:], traj[-1]], axis=0)
         # decode row of: edge1 = 0, edge2 = e2 + off, stem i = n_edges + off + i
@@ -924,6 +955,11 @@ class BlendingEngine:
                     self._sims_pending.copy_to_host_async()
                 except Exception:
                     pass
+        if self.dh.last_run_was_warm:
+            # everything since the scan landed is output-dispatch tail the
+            # movie writer start waits for — a cost-model input (the cold
+            # run's decode compile would inflate it ~100×, so warm only)
+            self._dt_fused_output = time.time() - t_out0
         self.last_report.levels.append(
             {"idx_injection": idx_injection, "stems": k, "fused": True, "recycled": recycled1}
         )

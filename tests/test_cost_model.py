@@ -109,8 +109,11 @@ def test_auto_gate_follows_model_and_fused_calibration_is_separate(monkeypatch, 
     assert be.dt_unet_step == dt0
 
     # calibrated, fused priced prohibitively → auto gate flips to per-level
+    # (synthesize EVERY model input, incl. the fused output-dispatch tail
+    # the warm run above just measured)
     be.dt_sync = 1e-6
     be.dt_unet_step_fused = 10.0
+    be._dt_fused_output = 0.0
     be._dt_step_by_batch = {1: 1e-4, 2: 1e-4, 3: 1e-4}
     be.dt_unet_step = 1e-4
     assert be.predict_transition_time()["path"] == "per-level"

@@ -170,7 +170,11 @@ def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) ->
         be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
 
     # planner honesty: cost-model prediction BEFORE the timed run
-    # (calibrations come from the warm-up runs only)
+    # (calibrations come from the warm-up runs only). Refresh dt_sync on
+    # the warm backend first: the setup-time sample can catch a cold-relay
+    # backlog that inflates per-level predictions (observed 7.5s vs 0.02s).
+    if be.dt_sync is not None:
+        be.measure_sync_overhead()
     pred = be.predict_transition_time()
 
     flops0 = dh.runner.executed_flops
@@ -219,10 +223,14 @@ def _legacy_single_spec(mesh):
     sched = os.environ.get("LB_BENCH_SCHED")
     if sched:
         dh.set_scheduler_type(sched)
-    be = BlendingEngine(dh)
     steps = os.environ.get("LB_BENCH_STEPS")
+    # benchmark AFTER the step-count switch — the calibration pass compiles
+    # a full B=2 denoise scan, and compiling it at the default step count
+    # only to discard it costs minutes of XLA time at 1024²
+    be = BlendingEngine(dh, run_benchmark=False if steps else None)
     if steps:
         be.set_num_inference_steps(int(steps))
+        be.benchmark_speed()
     if not dh.is_sdxl_turbo:
         budget = os.environ.get("LB_BENCH_BUDGET")
         if budget:

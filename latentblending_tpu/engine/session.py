@@ -138,6 +138,7 @@ def run_multi_transition(
     ms = MovieSaver(fp_movie, fps=fps, shape_hw=(be.dh.height_img, be.dh.width_img))
     pending: threading.Thread | None = None
     errs: list[BaseException] = []
+    part_reports = []
     # keyframes ship as packed I420 planes when possible — half the
     # device→host bytes per part, and the MJPEG path encodes the planes
     # directly (same gating as run_movie_transition)
@@ -181,6 +182,7 @@ def run_multi_transition(
             # sims sync (report-only) overlaps the encode thread — both
             # sides release the GIL (relay transfer / cv2 encode)
             be._finalize_report()
+            part_reports.append(be.last_report)
             log.info(f"transition {i + 1}/{len(kfs) - 1} done")
     finally:
         be._keyframe_fmt = "rgb"
@@ -190,6 +192,13 @@ def run_multi_transition(
         raise errs[0]
     # leave the engine with the last transition's keyframes materialized
     be._resolve_keyframes()
+    # last_report covers the WHOLE movie (phases summed across parts) —
+    # per-transition MFU/phase math over a chained run was 3× off when it
+    # read only the final part's report
+    if part_reports:
+        from latentblending_tpu.profiling import TransitionReport
+
+        be.last_report = TransitionReport.merged(part_reports)
     ms.finalize()
     log.info(f"movie saved to {fp_movie} ({ms.nmb_frames} frames)")
     return fp_movie

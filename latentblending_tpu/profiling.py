@@ -61,6 +61,26 @@ class TransitionReport:
             "phases": self.phases,
         }
 
+    @classmethod
+    def merged(cls, reports: list["TransitionReport"]) -> "TransitionReport":
+        """Aggregate per-transition reports from a chained-movie run into
+        one report: phase totals/counts summed, levels and gap values
+        concatenated, walls summed. Keyframe count sums the unique frames
+        (each recycled seam keyframe is counted once)."""
+        out = cls()
+        for i, r in enumerate(reports):
+            out.num_steps = r.num_steps or out.num_steps
+            out.num_keyframes += r.num_keyframes - (1 if i > 0 and r.num_keyframes else 0)
+            out.levels.extend(r.levels)
+            out.lpips_gaps.extend(r.lpips_gaps)
+            out.wall_s += r.wall_s
+            for name, p in (r.phases or {}).items():
+                cur = out.phases.setdefault(name, {"total_s": 0.0, "count": 0, "mean_s": 0.0})
+                cur["total_s"] = round(cur["total_s"] + p["total_s"], 4)
+                cur["count"] += p["count"]
+                cur["mean_s"] = round(cur["total_s"] / cur["count"], 4)
+        return out
+
 
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/lb_trace"):

@@ -132,3 +132,47 @@ def test_auto_gate_follows_model_and_fused_calibration_is_separate(monkeypatch, 
     assert be.predict_transition_time()["path"] == "fused"
     be.run_transition(fixed_seeds=[1, 2])
     assert be.last_report.levels[0].get("fused") is True
+
+
+def test_measure_sync_overhead_takes_min_and_sets_dt_sync(dh, monkeypatch):
+    """dt_sync must reflect the steady-state round-trip, not a one-off
+    stall: min over reps, and callable standalone to refresh a stale
+    setup-time sample (bench refreshes it after warm-ups)."""
+    be = _engine(dh, ([2], [3]))
+    assert be.dt_sync is None
+    got = be.measure_sync_overhead(reps=3)
+    assert got == be.dt_sync
+    assert 0.0 <= got < 5.0
+
+    # min semantics: a synthetic slow first sample must not win
+    import latentblending_tpu.engine.blending as bl
+
+    walls = iter([100.0, 200.0, 200.005, 200.006, 200.0062])  # compile, then 3 timed reps
+    monkeypatch.setattr(bl.time, "time", lambda: next(walls, 200.0063))
+    be.measure_sync_overhead(reps=3)
+    assert be.dt_sync <= 0.01
+
+
+def test_transition_report_merged_sums_phases_and_gaps():
+    from latentblending_tpu.profiling import TransitionReport
+
+    r1 = TransitionReport(num_keyframes=5, num_steps=4, wall_s=1.0)
+    r1.phases = {"denoise": {"total_s": 0.5, "count": 2, "mean_s": 0.25}}
+    r1.lpips_gaps = [0.1, 0.2]
+    r1.levels = [{"idx_injection": 2}]
+    r2 = TransitionReport(num_keyframes=5, num_steps=4, wall_s=2.0)
+    r2.phases = {
+        "denoise": {"total_s": 1.5, "count": 2, "mean_s": 0.75},
+        "lpips_sync": {"total_s": 0.3, "count": 1, "mean_s": 0.3},
+    }
+    r2.lpips_gaps = [0.3]
+    r2.levels = [{"idx_injection": 3}]
+
+    m = TransitionReport.merged([r1, r2])
+    # the recycled seam keyframe is shared between parts: 5 + (5-1)
+    assert m.num_keyframes == 9
+    assert m.wall_s == 3.0
+    assert m.phases["denoise"] == {"total_s": 2.0, "count": 4, "mean_s": 0.5}
+    assert m.phases["lpips_sync"]["count"] == 1
+    assert m.lpips_gaps == [0.1, 0.2, 0.3]
+    assert len(m.levels) == 2

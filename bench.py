@@ -141,6 +141,15 @@ def _result_line(label, wall, n_frames, be, dh, mesh, weights, setup_s,
         detail["planner_predicted_s"] = round(pred["t_predicted_s"], 2)
         detail["planner_path"] = pred["path"]
         detail["planner_vs_actual"] = round(pred["t_predicted_s"] / t_transition, 2) if t_transition > 0 else None
+        # planner inputs, so a pva outlier is diagnosable from this line alone
+        detail["planner_inputs"] = {
+            "t_fused_s": round(pred["t_fused_s"], 3) if pred.get("t_fused_s") is not None else None,
+            "t_per_level_s": round(pred["t_per_level_s"], 3) if pred.get("t_per_level_s") is not None else None,
+            "dt_sync_s": round(be.dt_sync, 4) if be.dt_sync is not None else None,
+            "dt_vae_s": round(be.dt_vae, 4),
+            "dt_step_by_batch": {str(k): round(v, 4) for k, v in sorted(be._dt_step_by_batch.items())},
+            "dt_unet_step_fused_s": round(be.dt_unet_step_fused, 4) if be.dt_unet_step_fused is not None else None,
+        }
     if extra:
         detail.update(extra)
     return {

@@ -176,3 +176,39 @@ def test_transition_report_merged_sums_phases_and_gaps():
     assert m.phases["lpips_sync"]["count"] == 1
     assert m.lpips_gaps == [0.1, 0.2, 0.3]
     assert len(m.levels) == 2
+
+
+def test_calibration_updates_take_min_not_last(dh):
+    """Run-time calibration samples min-fold: a contended warm-up (relay
+    transfers from the previous run's writer draining during the next
+    edge run inflated dt 1.8x -> pva 1.63) cannot RAISE the planner's
+    prices; the constructor placeholder is replaced by the first real
+    sample; a resolution change drops run-time calibrations."""
+    be = _engine(dh, ([2], [3]))
+    # placeholder is replaced outright, even though it is smaller
+    assert be.dt_unet_step == 0.01 and not be._dt_unet_step_measured
+    be._observe_unet_step(0.12)
+    assert be.dt_unet_step == 0.12 and be._dt_unet_step_measured
+    # a contended (larger) sample is ignored; a faster one folds in
+    be._observe_unet_step(0.22)
+    assert be.dt_unet_step == 0.12
+    be._observe_unet_step(0.11)
+    assert be.dt_unet_step == 0.11
+
+    assert be._observe(None, 0.5) == 0.5
+    assert be._observe(0.2, 0.5) == 0.2
+    assert be._observe(0.2, 0.1) == 0.1
+
+    # resolution change invalidates per-shape calibrations
+    be._dt_step_by_batch = {2: 0.1}
+    be.dt_unet_step_fused = 0.05
+    be._dt_fused_output = 0.2
+    h, w = dh.height_img, dh.width_img
+    be.set_dimensions((w * 2, h * 2))
+    try:
+        assert be._dt_step_by_batch == {}
+        assert be.dt_unet_step_fused is None
+        assert be._dt_fused_output is None
+        assert not be._dt_unet_step_measured
+    finally:
+        be.set_dimensions((w, h))

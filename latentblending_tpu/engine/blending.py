@@ -1189,10 +1189,14 @@ class BlendingEngine:
             # phase boundary is honest (skipped for async-chained rounds)
             if sync:
                 _sync(traj)
-                if self.dh.last_run_was_warm:
+                if self.dh.last_run_was_warm and not predicted:
                     # observed per-(row,step) cost at THIS batch size — the
                     # cost model's per-row price is batch-dependent (B=1
-                    # rounds run at lower MFU than B=4, BENCH.md B-sweep)
+                    # rounds run at lower MFU than B=4, BENCH.md B-sweep).
+                    # Only valid when every round syncs (measured policy):
+                    # under the predictive policy rounds chain async and the
+                    # final sync drains the WHOLE queue, so its wall is not
+                    # this round's cost (observed: dt[1]=3.70 vs true 0.13)
                     self._dt_step_by_batch[k] = self._observe(
                         self._dt_step_by_batch.get(k),
                         (time.time() - t0) / ((N - idx_injection) * k),

@@ -212,3 +212,24 @@ def test_calibration_updates_take_min_not_last(dh):
         assert not be._dt_unet_step_measured
     finally:
         be.set_dimensions((w, h))
+
+
+def test_predictive_rounds_do_not_record_step_costs(dh, monkeypatch):
+    """Under placement_policy='predictive' rounds chain asynchronously and
+    only the FINAL round syncs — a queue-drain barrier whose wall is not
+    that round's cost (observed dt[1]=3.70s vs true 0.13). Such rounds
+    must not write _dt_step_by_batch; the synced batched edge run may."""
+    monkeypatch.setenv("LB_FUSED", "0")  # force the per-level round path
+    be = _engine(dh, ([2], [3]))
+    be.placement_policy = "predictive"
+    be.run_transition(fixed_seeds=[7, 8])   # cold
+    be._dt_step_by_batch.clear()
+    be.run_transition(fixed_seeds=[7, 8])   # warm
+    assert be.last_report.levels and not be.last_report.levels[0].get("fused")
+    assert set(be._dt_step_by_batch) <= {2}, be._dt_step_by_batch
+
+    # measured policy DOES record the round's batch size (valid: every
+    # round starts from a drained queue)
+    be.placement_policy = "measured"
+    be.run_transition(fixed_seeds=[7, 8])
+    assert 3 in be._dt_step_by_batch

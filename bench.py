@@ -50,6 +50,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from latentblending_tpu.engine.blending import BlendingEngine
 from latentblending_tpu.runtime.holder import SDXLHolder
 
+# warm-up movie bytes are throwaway: keep them off the real disk (this
+# host's block store drops to a ~60 MB/s baseline once burst credits are
+# spent — ~1 GB of warm-up writes per 1024² config was throttling the
+# TIMED run's writes to 4+ s). The timed movie still goes to /tmp.
+WARMUP_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
 DURATION_S = 12.0
 FPS = 30
 PROMPTS = [
@@ -172,11 +178,11 @@ def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) ->
     # (dt_unet_step_fused / per-batch step costs only update on warm runs);
     # re-warm until the cost model has real measured inputs so the reported
     # planner_vs_actual scores the model, not its placeholder fallbacks.
-    be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+    be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
     for _ in range(2):
         if be.planner_calibrated():
             break
-        be.run_movie_transition("/tmp/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+        be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
 
     # planner honesty: cost-model prediction BEFORE the timed run
     # (calibrations come from the warm-up runs only). Refresh dt_sync on
@@ -185,6 +191,11 @@ def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) ->
     if be.dt_sync is not None:
         be.measure_sync_overhead()
     pred = be.predict_transition_time()
+
+    # flush warm-up movie writeback (3 × ~250 MB of dirty pages at 1024²)
+    # so the timed run isn't throttled by the kernel's dirty-page limit —
+    # measured 4.1 s of blocked BufferedWriter.write inside a 6.2 s write
+    os.sync()
 
     flops0 = dh.runner.executed_flops
     t0 = time.time()
@@ -209,8 +220,9 @@ def _bench_chained(dh, be, mesh, weights, setup_s, dur_each=4.0) -> dict:
     )
     be.set_negative_prompt("blurry, ugly, pale")
     # warm-up: the recycled-edge (windowed) fused variant compiles here
-    run_multi_transition(be, project, "/tmp/lb_bench_chain_warmup.mp4",
+    run_multi_transition(be, project, WARMUP_DIR + "/lb_bench_chain_warmup.mp4",
                          duration_single_trans=dur_each, fps=FPS)
+    os.sync()  # see _bench_single: drain warm-up writeback before timing
     flops0 = dh.runner.executed_flops
     t0 = time.time()
     run_multi_transition(be, project, "/tmp/lb_bench_chain.mp4",

@@ -227,6 +227,16 @@ class MjpegMp4Writer:
         self._pending: deque = deque()   # (future, buffer) in submission order
         self._free: list[np.ndarray] = []
         self._bgr = None  # inline-path reused conversion buffer
+        # mdat writes ride a dedicated IO thread (bounded queue) so JPEG
+        # encode/lerp CPU work overlaps disk writeback throttling — measured
+        # 4.1 s of BufferedWriter.write inside a 6.2 s 1024² noise-content
+        # movie once the kernel's dirty-page limit kicked in. A blocked
+        # write doesn't hold the GIL, but inline it serializes the pipeline.
+        # LB_MJPEG_IO_THREAD=0 opts out (writes inline on the caller).
+        self._ioq = None
+        self._io_thread = None
+        self._io_exc: BaseException | None = None
+        self._io_threaded = os.environ.get("LB_MJPEG_IO_THREAD", "1") != "0"
 
     # -- encode ------------------------------------------------------------
     def _encode(self, rgb: np.ndarray, bgr_buf: np.ndarray | None = None) -> bytes:
@@ -250,10 +260,38 @@ class MjpegMp4Writer:
         self._f.write(_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"))
         self._mdat_hdr_off = self._f.tell()
         self._f.write(struct.pack(">I", 8) + b"mdat")  # size patched at finalize
+        if self._io_threaded:
+            import queue
+            import threading
+
+            # ~32 frames in flight (≈22 MB at 1024² noise content) bounds
+            # memory; the producer blocks at the cap, matching disk speed
+            self._ioq = queue.Queue(maxsize=32)
+            self._io_thread = threading.Thread(target=self._io_loop, name="lb-mdat-io", daemon=True)
+            self._io_thread.start()
 
     def _emit(self, jpg: bytes):
-        self._f.write(jpg)
+        if self._ioq is not None:
+            if self._io_exc is not None:
+                raise self._io_exc
+            self._ioq.put(jpg)          # blocks when the disk falls behind
+        else:
+            self._f.write(jpg)
         self._sizes.append(len(jpg))
+
+    def _io_loop(self):
+        # keeps consuming until the sentinel even after a write error
+        # (discarding data) so a producer blocked in put() never deadlocks;
+        # the error surfaces on the next _emit or at finalize
+        while True:
+            item = self._ioq.get()
+            if item is None:
+                return
+            if self._io_exc is None:
+                try:
+                    self._f.write(item)
+                except BaseException as e:
+                    self._io_exc = e
 
     def _drain(self, block: bool):
         while self._pending and (block or self._pending[0][0].done()):
@@ -321,6 +359,13 @@ class MjpegMp4Writer:
         if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
+        if self._io_thread is not None:
+            self._ioq.put(None)
+            self._io_thread.join()
+            self._io_thread = None
+            self._ioq = None
+            if self._io_exc is not None:
+                raise self._io_exc
         mdat_end = self._f.tell()
         mdat_size = mdat_end - self._mdat_hdr_off
         if mdat_size > 0xFFFFFFFF:

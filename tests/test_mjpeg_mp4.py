@@ -160,3 +160,67 @@ def test_concat_foreign_file_falls_back(tmp_path, monkeypatch):
     out = str(tmp_path / "cat.mp4")
     concatenate_movies(out, [foreign, foreign])  # re-encode fallback path
     assert len(read_movie_frames(out)) == 8
+
+
+def test_io_thread_output_matches_inline(tmp_path, monkeypatch):
+    """mdat writes ride a bounded IO-thread queue by default (so encode/lerp
+    overlaps disk writeback throttling); the bytes on disk must be identical
+    to the inline path, and a small queue bound must not deadlock."""
+    import numpy as np
+
+    from latentblending_tpu.video.mjpeg_mp4 import MjpegMp4Writer
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (64, 48, 3), dtype=np.uint8) for _ in range(50)]
+
+    paths = {}
+    for mode, env in (("inline", "0"), ("threaded", "1")):
+        monkeypatch.setenv("LB_MJPEG_IO_THREAD", env)
+        fp = str(tmp_path / f"io_{mode}.mp4")
+        w = MjpegMp4Writer(fp, fps=30, shape_hw=(64, 48))
+        if mode == "threaded":
+            w._open(64, 48)
+            assert w._io_thread is not None and w._ioq.maxsize == 32
+        for f in frames:
+            w.write_frame(f)
+        # mixed path: pre-encoded samples interleave through the same queue
+        w.write_encoded(w.encode_frame(frames[0]))
+        w.finalize()
+        paths[mode] = fp
+    assert open(paths["inline"], "rb").read() == open(paths["threaded"], "rb").read()
+
+
+def test_io_thread_write_error_propagates(tmp_path, monkeypatch):
+    """A failing disk write surfaces on finalize (or an earlier _emit)
+    instead of being swallowed by the IO thread, and nothing deadlocks."""
+    import numpy as np
+    import pytest as _pytest
+
+    from latentblending_tpu.video.mjpeg_mp4 import MjpegMp4Writer
+
+    monkeypatch.setenv("LB_MJPEG_IO_THREAD", "1")
+    w = MjpegMp4Writer(str(tmp_path / "err.mp4"), fps=30, shape_hw=(64, 48))
+    w._open(64, 48)
+
+    class Boom(OSError):
+        pass
+
+    real_f = w._f
+
+    class FailingFile:
+        def write(self, b):
+            raise Boom("disk full")
+
+        def __getattr__(self, name):
+            return getattr(real_f, name)
+
+    w._f = FailingFile()
+    frame = np.zeros((64, 48, 3), np.uint8)
+    with _pytest.raises(Boom):
+        for _ in range(200):  # far beyond the queue bound — must not hang
+            w.write_frame(frame)
+            if w._io_exc is not None:
+                w.write_frame(frame)  # next emit raises
+    w._f = real_f
+    w._io_exc = None
+    w.finalize()

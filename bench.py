@@ -13,7 +13,9 @@ No-arg invocation prints ONE JSON line PER BASELINE config (primary first):
 
 A total-runtime guard (LB_BENCH_TOTAL_S, default 4200 s) skips the
 remaining configs when the budget is spent — the turbo line always runs.
-Every line is printed as soon as its config finishes.
+Every line is printed as soon as its config finishes. Config groups
+(turbo 1-2, base 3-4) run in subprocesses with hard wall timeouts so a
+wedged relay call costs one group, not the whole capture.
 
 LB_BENCH_SPEC=sdxl-turbo|sdxl-base|tiny-turbo selects ONE config with the
 legacy knobs (LB_BENCH_STEPS / LB_BENCH_SCHED / LB_BENCH_BUDGET /
@@ -270,8 +272,102 @@ def _legacy_single_spec(mesh):
     print(json.dumps(_bench_single(dh, be, label, mesh, weights, setup_s)), flush=True)
 
 
+def _start_stall_watchdog():
+    """os._exit(17) when the process makes NO CPU progress for
+    LB_BENCH_STALL_S (default 900 s): a wedged relay call blocks inside
+    C++ at 0 CPU forever and no Python signal can preempt it (observed
+    twice: 22+ min inside benchmark_speed). CPU-based, so long XLA
+    compiles (host CPU churns) and legitimate device scans (tens of
+    seconds each, with host activity between) never trip it. Set
+    LB_BENCH_STALL_S=0 to disable."""
+    import threading
+
+    stall_s = float(os.environ.get("LB_BENCH_STALL_S", "900"))
+    if stall_s <= 0:
+        return
+    state = {"cpu": sum(os.times()[:2]), "t": time.time()}
+
+    def loop():
+        while True:
+            time.sleep(30)
+            cpu = sum(os.times()[:2])
+            now = time.time()
+            if cpu - state["cpu"] > 1.0:
+                state["cpu"], state["t"] = cpu, now
+            elif now - state["t"] > stall_s:
+                print(f"bench: no CPU progress for {now - state['t']:.0f}s — "
+                      "wedged relay call, exiting 17", file=sys.stderr)
+                os._exit(17)
+
+    threading.Thread(target=loop, daemon=True, name="lb-stall-watchdog").start()
+
+
+def _config_done(key: str) -> bool:
+    fp = os.environ.get("LB_BENCH_DONE_FILE")
+    if not fp or not os.path.isfile(fp):
+        return False
+    return key in open(fp).read().split()
+
+
+def _mark_config_done(key: str):
+    fp = os.environ.get("LB_BENCH_DONE_FILE")
+    if fp:
+        with open(fp, "a") as f:
+            f.write(key + "\n")
+
+
+def _orchestrate():
+    """Run the config groups in SUBPROCESSES with hard wall timeouts.
+
+    The relay tunnel can wedge a device call indefinitely (observed: a
+    bench blocked 22+ min at 0 CPU inside benchmark_speed — no Python
+    signal can preempt a blocked C++ relay call). Group isolation means a
+    wedge costs one group attempt, not the whole capture: every finished
+    config's JSON line is already on stdout (children inherit it and
+    flush per line). Each group gets ONE retry (the wedge is
+    intermittent); a done-file makes retries skip configs that already
+    printed, so no duplicate JSON lines. Group 'turbo' = configs 1-2,
+    group 'base' = configs 3-4."""
+    import subprocess
+    import tempfile
+
+    total = float(os.environ.get("LB_BENCH_TOTAL_S", "4200"))
+    t0 = time.time()
+    done_fp = tempfile.mktemp(prefix="lb_bench_done_")
+    try:
+        for group, min_s in (("turbo", 240.0), ("base", 900.0)):
+            for attempt in (1, 2):
+                remaining = total - (time.time() - t0)
+                if remaining < min_s:
+                    print(f"bench: budget spent — skipping group {group}", file=sys.stderr)
+                    break
+                env = dict(os.environ)
+                env["LB_BENCH_GROUP"] = group
+                env["LB_BENCH_TOTAL_S"] = str(remaining)
+                env["LB_BENCH_DONE_FILE"] = done_fp
+                p = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env)
+                try:
+                    rc = p.wait(timeout=remaining + 120.0)  # grace over the child's guard
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.wait()
+                    rc = -9
+                if rc == 0:
+                    break
+                print(f"bench: group {group} attempt {attempt} failed rc={rc}"
+                      + ("" if attempt == 2 else " — retrying"), file=sys.stderr)
+    finally:
+        if os.path.isfile(done_fp):
+            os.unlink(done_fp)
+
+
 def main():
+    group = os.environ.get("LB_BENCH_GROUP")
+    if not group and not os.environ.get("LB_BENCH_SPEC"):
+        _orchestrate()
+        return
     _probe_backend()
+    _start_stall_watchdog()
     mesh = _make_mesh_if_multichip()
     if os.environ.get("LB_BENCH_SPEC"):
         _legacy_single_spec(mesh)
@@ -284,42 +380,57 @@ def main():
     # not to starve the base configs of their one driver-captured shot
     deadline = t_start + float(os.environ.get("LB_BENCH_TOTAL_S", "4200"))
 
+    if group == "base":
+        _run_base_group(mesh, deadline)
+        return
+
     # ---- 1. SDXL-Turbo headline (always runs; printed first)
     t_setup = time.time()
     dh, weights = _make_holder("sdxl-turbo", mesh)
     be = BlendingEngine(dh)
     setup_s = time.time() - t_setup
-    print(json.dumps(_bench_single(dh, be, "SDXL-Turbo 512x512", mesh, weights, setup_s)), flush=True)
+    if not _config_done("turbo"):
+        print(json.dumps(_bench_single(dh, be, "SDXL-Turbo 512x512", mesh, weights, setup_s)), flush=True)
+        _mark_config_done("turbo")
 
     # ---- 2. 4-prompt chained on the SAME holder/engine (cheap)
-    if time.time() < deadline:
+    if _config_done("chained"):
+        pass
+    elif time.time() < deadline:
         try:
             print(json.dumps(_bench_chained(dh, be, mesh, weights, setup_s)), flush=True)
+            _mark_config_done("chained")
         except Exception as e:
             print(f"bench: chained config failed: {type(e).__name__}: {e}", file=sys.stderr)
     else:
         print("bench: budget spent — skipping chained config", file=sys.stderr)
 
-    del be, dh
+
+def _run_base_group(mesh, deadline):
     gc.collect()
 
     # ---- 3. SDXL-base 1024² 30-step (BASELINE config 2)
     be = dh = None
+    weights = None
     if time.time() < deadline:
         try:
             t_setup = time.time()
             dh, weights = _make_holder("sdxl-base", mesh)
-            be = BlendingEngine(dh)
-            be.set_branching(nmb_max_branches=10)
-            setup_s = time.time() - t_setup
-            print(json.dumps(_bench_single(dh, be, "SDXL-base 1024x1024 30-step", mesh, weights, setup_s)), flush=True)
+            if not _config_done("base"):
+                be = BlendingEngine(dh)
+                be.set_branching(nmb_max_branches=10)
+                setup_s = time.time() - t_setup
+                print(json.dumps(_bench_single(dh, be, "SDXL-base 1024x1024 30-step", mesh, weights, setup_s)), flush=True)
+                _mark_config_done("base")
         except Exception as e:
             print(f"bench: sdxl-base config failed: {type(e).__name__}: {e}", file=sys.stderr)
     else:
         print("bench: budget spent — skipping sdxl-base config", file=sys.stderr)
 
     # ---- 4. SDXL-base composed accelerators (predictive + DPM++(2M) 15-step)
-    if dh is not None and time.time() < deadline:
+    if dh is not None and _config_done("fast"):
+        pass
+    elif dh is not None and time.time() < deadline:
         try:
             t_setup = time.time()
             dh.set_scheduler_type("dpmpp_2m")
@@ -334,6 +445,7 @@ def main():
             print(json.dumps(_bench_single(
                 dh, be, "SDXL-base 1024x1024 fast (predictive+dpmpp_2m 15-step)",
                 mesh, weights, setup_s)), flush=True)
+            _mark_config_done("fast")
         except Exception as e:
             print(f"bench: sdxl-base-fast config failed: {type(e).__name__}: {e}", file=sys.stderr)
     elif dh is not None:

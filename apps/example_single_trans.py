@@ -47,6 +47,12 @@ def main():
                    help="PNG/JPG to pin as the FIRST keyframe (photo → prompt2 transition)")
     p.add_argument("--image2", type=str, default=None,
                    help="PNG/JPG to pin as the SECOND keyframe (prompt1 → photo transition)")
+    # incremental deepening (resume surface): after the first movie, add
+    # stem levels to the SAME tree without recomputing any trajectory and
+    # write a smoother second movie (engine/tree_cache.py + README)
+    p.add_argument("--deepen", type=int, default=0, metavar="K",
+                   help="after the movie, extend_transition with K extra keyframes "
+                        "at a deeper injection index and write <out>.deepened.mp4")
     args = p.parse_args()
 
     if args.tiny or args.snapshot is None:
@@ -94,6 +100,19 @@ def main():
           f"({len(be.tree_final_imgs)} keyframes)")
     be.write_movie_transition(args.out, duration_transition=args.duration)
     print(f"movie written to {args.out}")
+
+    if args.deepen > 0:
+        # deepen near the end of the schedule: cheap stems (few steps each),
+        # placed by the live gap similarities — nothing already computed
+        # is re-run (tests/test_extend_transition.py asserts call counts)
+        idx_deep = max(1, int(round(be.num_inference_steps * 0.75)))
+        t0 = time.time()
+        be.extend_transition([idx_deep], [args.deepen])
+        fp2 = os.path.splitext(args.out)[0] + ".deepened.mp4"
+        print(f"tree deepened by {args.deepen} stems at idx {idx_deep} in "
+              f"{time.time() - t0:.2f}s ({len(be.tree_final_imgs)} keyframes)")
+        be.write_movie_transition(fp2, duration_transition=args.duration)
+        print(f"deepened movie written to {fp2}")
 
 
 if __name__ == "__main__":

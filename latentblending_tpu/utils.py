@@ -67,6 +67,12 @@ def yml_save(fp_yml: str, dict_stuff: dict) -> None:
         yaml.dump(dict_stuff, f, sort_keys=False, default_flow_style=False)
 
 
+def compare_dicts(a: dict, b: dict) -> dict:
+    """Shared keys whose values differ, as {key: [a_val, b_val]}
+    (reference utils.py:224 — kept for migration completeness)."""
+    return {k: [a[k], b[k]] for k in a if k in b and a[k] != b[k]}
+
+
 def json_load(fp: str):
     with open(fp) as f:
         return json.load(f)

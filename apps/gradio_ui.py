@@ -134,24 +134,27 @@ class MultiUserRouter:
         return self.engines[s.engine_name], self.locks[s.engine_name]
 
     def compute_imgs(self, user_id: str, prompt: str, negative_prompt: str):
+        """N preview images as ONE batched denoise + decode inside ONE short
+        lock hold. The reference generates previews sequentially under no
+        lock at all (gradio_ui.py:136-154 — N engine round-trips racing
+        other users); here the engine is held only for the batched compute,
+        and the JPEG writes happen outside the critical section."""
         s = self._session(user_id)
         be, lock = self._engine_for(s)
         s.prompt, s.negative_prompt = prompt, negative_prompt
-        s.list_seeds, s.list_images_preview, s.idx_img_preview_selected = [], [], None
+        seeds = [int(x) for x in np.random.randint(0, np.iinfo(np.int32).max, s.nmb_preview_images)]
+        s.list_seeds, s.list_images_preview, s.idx_img_preview_selected = list(seeds), [], None
         with lock:
             be.set_dimensions((s.width, s.height))
             be.set_prompt1(prompt)
             be.set_negative_prompt(negative_prompt)
-            for _ in range(s.nmb_preview_images):
-                seed = int(np.random.randint(0, np.iinfo(np.int32).max))
-                be.seed1 = seed
-                s.list_seeds.append(seed)
-                img = be.compute_latents1(return_image=True)
-                from PIL import Image
+            imgs = be.compute_preview_images(seeds)
+        from PIL import Image
 
-                fp = os.path.join(tempfile.gettempdir(), f"image_{uuid.uuid4()}.jpg")
-                Image.fromarray(np.asarray(img)).save(fp, quality=s.jpg_quality, optimize=True)
-                s.list_images_preview.append(fp)
+        for img in imgs:
+            fp = os.path.join(tempfile.gettempdir(), f"image_{uuid.uuid4()}.jpg")
+            Image.fromarray(np.asarray(img)).save(fp, quality=s.jpg_quality, optimize=True)
+            s.list_images_preview.append(fp)
         return s.list_images_preview
 
     def preview_img_selected(self, user_id, data, button):

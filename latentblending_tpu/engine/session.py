@@ -139,10 +139,6 @@ def run_multi_transition(
     pending: threading.Thread | None = None
     errs: list[BaseException] = []
     part_reports = []
-    # keyframes ship as packed I420 planes when possible — half the
-    # device→host bytes per part, and the MJPEG path encodes the planes
-    # directly (same gating as run_movie_transition)
-    be._keyframe_fmt = "i420" if be._i420_fetch_ok() else "rgb"
     try:
         for i in range(len(kfs) - 1):
             if i == 0:
@@ -159,13 +155,16 @@ def run_multi_transition(
                 be.set_prompt2(kfs[i + 1].prompt)
                 recycle_img1 = True
 
-            be._run_transition_core(
+            # streaming contract: keyframe HANDLES come back with their
+            # device→host copies possibly still in flight; the writer
+            # resolves them lazily. Keyframes ship as packed I420 planes
+            # when possible (half the bytes; the MJPEG path encodes planes
+            # directly). Snapshotting the handles here is safe across the
+            # next iteration's swap_forward — the device batches they
+            # reference are immutable, so the writer thread owns them.
+            imgs = be.run_transition_streaming(
                 recycle_img1=recycle_img1, fixed_seeds=[kfs[i].seed, kfs[i + 1].seed]
             )
-            # snapshot the keyframe handles BEFORE the next iteration's
-            # swap_forward clears them; the device batches they reference
-            # are immutable, so the writer thread owns them safely
-            imgs = list(be.tree_final_imgs)
             if pending is not None:
                 pending.join()  # depth-1 pipeline: one part in flight
                 if errs:
@@ -181,17 +180,16 @@ def run_multi_transition(
                     raise errs[0]
             # sims sync (report-only) overlaps the encode thread — both
             # sides release the GIL (relay transfer / cv2 encode)
-            be._finalize_report()
+            be.finalize_report()
             part_reports.append(be.last_report)
             log.info(f"transition {i + 1}/{len(kfs) - 1} done")
     finally:
-        be._keyframe_fmt = "rgb"
         if pending is not None:
             pending.join()
     if errs:
         raise errs[0]
     # leave the engine with the last transition's keyframes materialized
-    be._resolve_keyframes()
+    be.resolve_keyframes()
     # last_report covers the WHOLE movie (phases summed across parts) —
     # per-transition MFU/phase math over a chained run was 3× off when it
     # read only the final part's report

@@ -35,15 +35,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(x, sharding: NamedSharding):
+    """Place one host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put. Multi-process: device_put onto a
+    sharding that spans non-addressable devices runs a per-leaf
+    `multihost_utils.assert_equal` — a gloo collective per parameter leaf,
+    observed to segfault the CPU backend under the hundreds of leaves a
+    UNet carries. jax.make_array_from_callback builds the same global array
+    from local shards with zero collectives; every process constructs
+    identical values by design (seeded init / identical checkpoint reads),
+    the same contract TPU pods rely on."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def shard_stem_batch(tree, mesh: Mesh):
     """Place every leaf's leading (stem) axis over the 'data' mesh axis."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, s), tree)
 
 
 def replicate_params(params, mesh: Mesh):
     r = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), params)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, r), params)
 
 
 def auto_mesh(n_model: int | None = None):

@@ -83,7 +83,9 @@ def unet_tp_specs(params, mesh: Mesh, strict: bool | None = None) -> dict:
 
 def shard_unet_params(params, mesh: Mesh):
     """Place UNet params per the TP rules (replicated over 'data')."""
+    from latentblending_tpu.parallel.mesh import _put_global
+
     specs = unet_tp_specs(params, mesh)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: _put_global(x, NamedSharding(mesh, s)), params, specs
     )

@@ -180,7 +180,10 @@ class SDXLHolder:
         h = spec.unet.sample_size
         ctx_dim = spec.unet.cross_attention_dim
         pooled_dim = spec.clip2.projection_dim or spec.clip2.hidden_size
-        with jax.default_device(jax.devices()[0]):
+        # local_devices, NOT devices: in a multi-process run devices()[0] is
+        # process 0's device — non-addressable elsewhere (computations pinned
+        # to it crash the backend; found by the 2-process CPU smoke test)
+        with jax.default_device(jax.local_devices()[0]):
             unet_params = jax.jit(unet.init)(
                 keys[0], jnp.zeros((1, h, h, 4), dtype), jnp.float32(0.0),
                 jnp.zeros((1, 77, ctx_dim), dtype), jnp.zeros((1, pooled_dim), dtype), jnp.zeros((1, 6), dtype),
@@ -546,7 +549,9 @@ class SDXLHolder:
                 self._params_placed = True
             latents_start = shard_stem_batch(latents_start, self.mesh)
             cond = shard_stem_batch(cond, self.mesh)
-            mw = jax.device_put(
+            from latentblending_tpu.parallel.mesh import _put_global
+
+            mw = _put_global(
                 mw, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
             )
         plan = DenoisePlan(

@@ -11,7 +11,14 @@ No-arg invocation prints ONE JSON line PER BASELINE config (primary first):
                   'predictive' + DPM++(2M) 15-step (both individually
                   fidelity-bounded, BENCH.md)
 
-A total-runtime guard (LB_BENCH_TOTAL_S, default 4200 s) skips the
+After EVERY config line an AGGREGATE line follows: top-level metric/value
+= the HEADLINE (turbo) config, detail.configs = compact entries for every
+config completed so far. The LAST JSON line on stdout is therefore always
+headline-first and cumulative, whether the run finishes, is killed by an
+external timeout, or loses a group to a relay wedge (the round-4 capture
+was parsed at the worst config because the driver clock expired mid-run).
+
+A total-runtime guard (LB_BENCH_TOTAL_S, default 2700 s) skips the
 remaining configs when the budget is spent — the turbo line always runs.
 Every line is printed as soon as its config finishes. Config groups
 (turbo 1-2, base 3-4) run in subprocesses with hard wall timeouts so a
@@ -44,13 +51,20 @@ import time
 import jax
 import jax.numpy as jnp
 
-# sitecustomize pre-imports jax, so env-var config is too late — set the
-# persistent compilation cache through the config API.
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lb_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 from latentblending_tpu.engine.blending import BlendingEngine
 from latentblending_tpu.runtime.holder import SDXLHolder
+
+
+def _configure_cache():
+    """sitecustomize pre-imports jax, so env-var config is too late — set
+    the persistent compilation cache through the config API. Called from
+    main() (not at import) so importing this module for its helpers never
+    mutates jax config."""
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lb_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # warm-up movie bytes are throwaway: keep them off the real disk (this
 # host's block store drops to a ~60 MB/s baseline once burst credits are
@@ -118,6 +132,63 @@ def _make_holder(spec: str, mesh):
     return SDXLHolder.from_random(spec, dtype=dtype, mesh=mesh), "random-init"
 
 
+def _emit(key: str, result: dict) -> None:
+    """Print one config's JSON line, record it in the shared results file,
+    and re-print the cumulative AGGREGATE line (headline-first) so the last
+    JSON line on stdout is never a worst-config accident."""
+    print(json.dumps(result), flush=True)
+    fp = os.environ.get("LB_BENCH_RESULTS_FILE")
+    if not fp:
+        return
+    with open(fp, "a") as f:
+        f.write(json.dumps({"key": key, "result": result}) + "\n")
+    agg = _aggregate_line(fp)
+    if agg is not None:
+        print(json.dumps(agg), flush=True)
+
+
+def _aggregate_line(fp: str) -> dict | None:
+    """Cumulative summary over all completed configs (last write per key
+    wins, so a retried config never duplicates). Top-level metric/value/
+    vs_baseline mirror the HEADLINE config — turbo when available."""
+    results: dict[str, dict] = {}
+    try:
+        with open(fp) as f:
+            for line in f:
+                try:
+                    d = json.loads(line)
+                    results[d["key"]] = d["result"]
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    except OSError:
+        return None
+    if not results:
+        return None
+    head = results.get("turbo") or next(iter(results.values()))
+
+    def compact(r: dict) -> dict:
+        det = r.get("detail", {})
+        keep = ("spec", "wall_s", "transition_s", "mfu_denoise", "setup_s",
+                "weights", "writer_backend", "placement_policy", "branching")
+        return {
+            "metric": r["metric"], "value": r["value"], "unit": r["unit"],
+            "vs_baseline": r["vs_baseline"],
+            **{k: det[k] for k in keep if k in det},
+        }
+
+    return {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "detail": {
+            "aggregate": True,
+            "n_configs": len(results),
+            "configs": {k: compact(r) for k, r in results.items()},
+        },
+    }
+
+
 def _result_line(label, wall, n_frames, be, dh, mesh, weights, setup_s,
                  denoise_flops, pred=None, extra=None) -> dict:
     denoise_wall = (be.last_report.phases or {}).get("denoise", {}).get("total_s", 0.0)
@@ -144,6 +215,7 @@ def _result_line(label, wall, n_frames, be, dh, mesh, weights, setup_s,
         "weights": weights,
         "similarity_metric": be.similarity_metric,
         "placement_policy": be.placement_policy,
+        "writer_backend": getattr(be, "last_writer_backend", None),
     }
     if pred is not None:
         detail["planner_predicted_s"] = round(pred["t_predicted_s"], 2)
@@ -175,16 +247,22 @@ def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) ->
     be.set_prompt2(PROMPTS[1])
     be.set_negative_prompt("blurry, ugly, pale")
 
-    # warm-up: compile every denoise/decode/fill-up variant the run uses.
+    # warm-up: compile every denoise/decode variant the run uses.
     # The FIRST warm-up is cold (compiling), so it records no calibration
     # (dt_unet_step_fused / per-batch step costs only update on warm runs);
     # re-warm until the cost model has real measured inputs so the reported
     # planner_vs_actual scores the model, not its placeholder fallbacks.
-    be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+    # Warm-up movies are SHORT (2 s): the compiled-variant set depends on
+    # keyframe/batch shapes, not frame count, and full-length 1024² warm-up
+    # writes (~250 MB each) were throttling the timed run and eating the
+    # driver clock (the round-4 rc=124). Device fill-up is the exception —
+    # its lerp compiles per target frame count.
+    warm_dur = duration if os.environ.get("LB_DEVICE_FILLUP") == "1" else 2.0
+    be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=warm_dur, fps=FPS, fixed_seeds=[420, 421])
     for _ in range(2):
         if be.planner_calibrated():
             break
-        be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=duration, fps=FPS, fixed_seeds=[420, 421])
+        be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=warm_dur, fps=FPS, fixed_seeds=[420, 421])
 
     # planner honesty: cost-model prediction BEFORE the timed run
     # (calibrations come from the warm-up runs only). Refresh dt_sync on
@@ -221,9 +299,11 @@ def _bench_chained(dh, be, mesh, weights, setup_s, dur_each=4.0) -> dict:
         num_inference_steps=dh.num_inference_steps,
     )
     be.set_negative_prompt("blurry, ugly, pale")
-    # warm-up: the recycled-edge (windowed) fused variant compiles here
+    # warm-up: the recycled-edge (windowed) fused variant compiles here;
+    # short parts — see _bench_single on why warm-up frame count is free
+    warm_dur = dur_each if os.environ.get("LB_DEVICE_FILLUP") == "1" else 1.0
     run_multi_transition(be, project, WARMUP_DIR + "/lb_bench_chain_warmup.mp4",
-                         duration_single_trans=dur_each, fps=FPS)
+                         duration_single_trans=warm_dur, fps=FPS)
     os.sync()  # see _bench_single: drain warm-up writeback before timing
     flops0 = dh.runner.executed_flops
     t0 = time.time()
@@ -331,9 +411,10 @@ def _orchestrate():
     import subprocess
     import tempfile
 
-    total = float(os.environ.get("LB_BENCH_TOTAL_S", "4200"))
+    total = float(os.environ.get("LB_BENCH_TOTAL_S", "2700"))
     t0 = time.time()
     done_fp = tempfile.mktemp(prefix="lb_bench_done_")
+    results_fp = os.environ.get("LB_BENCH_RESULTS_FILE") or tempfile.mktemp(prefix="lb_bench_results_")
     try:
         for group, min_s in (("turbo", 240.0), ("base", 900.0)):
             for attempt in (1, 2):
@@ -345,6 +426,7 @@ def _orchestrate():
                 env["LB_BENCH_GROUP"] = group
                 env["LB_BENCH_TOTAL_S"] = str(remaining)
                 env["LB_BENCH_DONE_FILE"] = done_fp
+                env["LB_BENCH_RESULTS_FILE"] = results_fp
                 p = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env)
                 try:
                     rc = p.wait(timeout=remaining + 120.0)  # grace over the child's guard
@@ -357,11 +439,13 @@ def _orchestrate():
                 print(f"bench: group {group} attempt {attempt} failed rc={rc}"
                       + ("" if attempt == 2 else " — retrying"), file=sys.stderr)
     finally:
-        if os.path.isfile(done_fp):
-            os.unlink(done_fp)
+        for fp in (done_fp, results_fp):
+            if os.path.isfile(fp):
+                os.unlink(fp)
 
 
 def main():
+    _configure_cache()
     group = os.environ.get("LB_BENCH_GROUP")
     if not group and not os.environ.get("LB_BENCH_SPEC"):
         _orchestrate()
@@ -374,11 +458,12 @@ def main():
         return
 
     t_start = time.time()
-    # default sized for a degraded relay day: executable upload through the
-    # tunnel can cost 5-8 min per 1024² config (observed setup_s 115→535 s
-    # for identical cache-hit runs) — the guard exists to skip gracefully,
-    # not to starve the base configs of their one driver-captured shot
-    deadline = t_start + float(os.environ.get("LB_BENCH_TOTAL_S", "4200"))
+    # default must FIT THE DRIVER'S OWN CLOCK: the round-4 capture was
+    # rc=124 because bench's 4200 s guard outlived the driver's timeout and
+    # the parsed line fell on the worst config. 2700 s with short warm-ups
+    # fits all four configs on a warm-cache day; on a degraded-relay day the
+    # guard skips the base group and the aggregate line still carries turbo
+    deadline = t_start + float(os.environ.get("LB_BENCH_TOTAL_S", "2700"))
 
     if group == "base":
         _run_base_group(mesh, deadline)
@@ -390,7 +475,7 @@ def main():
     be = BlendingEngine(dh)
     setup_s = time.time() - t_setup
     if not _config_done("turbo"):
-        print(json.dumps(_bench_single(dh, be, "SDXL-Turbo 512x512", mesh, weights, setup_s)), flush=True)
+        _emit("turbo", _bench_single(dh, be, "SDXL-Turbo 512x512", mesh, weights, setup_s))
         _mark_config_done("turbo")
 
     # ---- 2. 4-prompt chained on the SAME holder/engine (cheap)
@@ -398,7 +483,7 @@ def main():
         pass
     elif time.time() < deadline:
         try:
-            print(json.dumps(_bench_chained(dh, be, mesh, weights, setup_s)), flush=True)
+            _emit("chained", _bench_chained(dh, be, mesh, weights, setup_s))
             _mark_config_done("chained")
         except Exception as e:
             print(f"bench: chained config failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -420,7 +505,7 @@ def _run_base_group(mesh, deadline):
                 be = BlendingEngine(dh)
                 be.set_branching(nmb_max_branches=10)
                 setup_s = time.time() - t_setup
-                print(json.dumps(_bench_single(dh, be, "SDXL-base 1024x1024 30-step", mesh, weights, setup_s)), flush=True)
+                _emit("base", _bench_single(dh, be, "SDXL-base 1024x1024 30-step", mesh, weights, setup_s))
                 _mark_config_done("base")
         except Exception as e:
             print(f"bench: sdxl-base config failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -442,9 +527,9 @@ def _run_base_group(mesh, deadline):
             be.benchmark_speed()
             be.set_branching(nmb_max_branches=10)
             setup_s = time.time() - t_setup
-            print(json.dumps(_bench_single(
+            _emit("fast", _bench_single(
                 dh, be, "SDXL-base 1024x1024 fast (predictive+dpmpp_2m 15-step)",
-                mesh, weights, setup_s)), flush=True)
+                mesh, weights, setup_s))
             _mark_config_done("fast")
         except Exception as e:
             print(f"bench: sdxl-base-fast config failed: {type(e).__name__}: {e}", file=sys.stderr)

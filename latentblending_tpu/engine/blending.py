@@ -1440,6 +1440,7 @@ class BlendingEngine:
         else:
             write_frames_interp(ms, self.tree_final_imgs, target)
         ms.finalize()
+        self._note_writer(ms)
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
 
     def run_movie_transition(
@@ -1499,10 +1500,20 @@ class BlendingEngine:
             else:
                 write_frames_interp(ms, self.tree_final_imgs, target, resolve=resolve)
             ms.finalize()
+        self._note_writer(ms)
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
         self._resolve_keyframes(batch_cache)
         self._finalize_report()
         return self.tree_final_imgs
+
+    def _note_writer(self, ms) -> None:
+        """Record which movie backend actually ran (bench diagnosability —
+        no driver line could previously say whether mjpeg/coef-lerp or a
+        fallback produced the write tail)."""
+        backend = getattr(ms, "backend", None)
+        if backend and getattr(ms, "used_coef_lerp", False):
+            backend += "+coef-lerp"
+        self.last_writer_backend = backend
 
     def get_state_dict(self) -> dict:
         state_dict = {}

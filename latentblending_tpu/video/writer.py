@@ -68,6 +68,11 @@ class MovieSaver:
         self.shape_hw = tuple(shape_hw) if shape_hw is not None else None
         self.crf = crf
         self.nmb_frames = 0
+        # which backend actually ran ("ffmpeg"/"mjpeg"/"cv2-avc1"/"cv2-mp4v")
+        # and whether the JPEG coefficient-lerp fast path produced the
+        # in-between frames — recorded for bench-line diagnosability
+        self.backend: str | None = None
+        self.used_coef_lerp = False
         self._writer = None
         self._proc = None
         self._mjpeg = None
@@ -91,8 +96,10 @@ class MovieSaver:
             from .mjpeg_mp4 import MjpegMp4Writer
 
             self._mjpeg = MjpegMp4Writer(self.fp_movie, fps=self.fps, shape_hw=(h, w))
+            self.backend = "mjpeg"
             return
         if exe is not None:
+            self.backend = "ffmpeg"
             self._proc = subprocess.Popen(
                 [
                     exe, "-y", "-loglevel", "error",
@@ -110,6 +117,7 @@ class MovieSaver:
             )
             if not self._writer.isOpened():
                 raise RuntimeError(f"cv2.VideoWriter failed to open {self.fp_movie}")
+            self.backend = f"cv2-{_cv2_fourcc()}"
 
     def open_mjpeg(self):
         """Open the backend now (shape_hw must already be known) and return
@@ -288,6 +296,7 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
         )
         return
 
+    ms.used_coef_lerp = True
     from latentblending_tpu.ops.schedules import frame_insert_counts
 
     from .frames import _lerp_u8, _native_lerp_into

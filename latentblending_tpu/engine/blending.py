@@ -204,6 +204,11 @@ class BlendingEngine:
         # (all B rows run all N steps — a different cost shape from the
         # per-level path, VERDICT r3 weak #4). None until a fused run lands.
         self.dt_unet_step_fused: Optional[float] = None
+        # segmented multi-level fused scan calibration: per useful
+        # (row,step) cost of denoise_scan_tree_seg (rows enter at their
+        # injection step, batch grows per segment). Separate from
+        # dt_unet_step_fused — the segment batches run at different MFU.
+        self.dt_unet_step_fused_multi: Optional[float] = None
         # one tiny synced op's wall — the per-round host↔device round-trip
         # cost (dominant on relay transports). None until benchmark_speed.
         self.dt_sync: Optional[float] = None
@@ -418,19 +423,74 @@ class BlendingEngine:
             out = self._dt_fused_output if self._dt_fused_output is not None else sync
             t_fused = N * B * dtf + out
 
+        # ---- segmented multi-level fused path: only USEFUL row-steps
+        # execute (same count as per-level) at per-segment batch sizes
+        t_fm = None
+        if self._multilevel_fusable():
+            _, row_steps = self._seg_plan(recycled1)
+            dtfm = self.dt_unet_step_fused_multi
+            if dtfm is None:
+                dtfm = self.dt_unet_step_fused if self.dt_unet_step_fused is not None else self.dt_unet_step
+            out = self._dt_fused_output if self._dt_fused_output is not None else sync
+            t_fm = row_steps * dtfm + out
+
+        # single-level and multi-level fused paths are mutually exclusive
+        # (len(plan_idx) decides), so at most one candidate exists
         gate = os.environ.get("LB_FUSED", "auto")
-        if t_fused is None or gate == "0":
-            path = "per-level"
-        elif gate == "1" or self.dt_sync is None or self.dt_unet_step_fused is None:
-            path = "fused"
+        if t_fused is not None:
+            fused_name, fused_t, fused_cal = "fused", t_fused, self.dt_unet_step_fused
+        elif t_fm is not None:
+            fused_name, fused_t, fused_cal = "fused-multi", t_fm, self.dt_unet_step_fused_multi
         else:
-            path = "fused" if t_fused <= t_pl else "per-level"
+            fused_name = fused_t = fused_cal = None
+        if fused_t is None or gate == "0":
+            path = "per-level"
+        elif gate == "1" or self.dt_sync is None or fused_cal is None:
+            path = fused_name
+        else:
+            path = fused_name if fused_t <= t_pl else "per-level"
         return {
             "path": path,
-            "t_predicted_s": t_fused if path == "fused" else t_pl,
+            "t_predicted_s": t_pl if path == "per-level" else fused_t,
             "t_fused_s": t_fused,
+            "t_fused_multi_s": t_fm,
             "t_per_level_s": t_pl,
         }
+
+    def _multilevel_fusable(self) -> bool:
+        """Structural validity of the SEGMENTED multi-level fused scan
+        (denoise_scan_tree_seg): every level's placements must be
+        value-independent — true only under the predictive policy, where
+        gap similarities update by predicted halving and no measurement is
+        consumed between levels. Levels must deepen strictly (rows enter
+        the scan in segment order) and the batch must live on one device
+        (in-batch row gathers)."""
+        idx = [int(i) for i in self.list_idx_injection]
+        return (
+            self.stem_batch == 0
+            and self.placement_policy == "predictive"
+            and len(idx) >= 2
+            and all(i >= 1 for i in idx)
+            and all(b > a for a, b in zip(idx, idx[1:]))
+            and all(int(n) >= 1 for n in self.list_nmb_stems)
+            and self.dh.mesh is None
+        )
+
+    def _seg_plan(self, recycled1: bool) -> tuple[list[tuple[int, int]], int]:
+        """Segment table ((start_step, batch), ...) for the current
+        branching plan plus its total useful row-step count."""
+        N = self.num_inference_steps
+        n_edges = 1 if recycled1 else 2
+        segs = [(0, n_edges)]
+        B = n_edges
+        for idx, k in zip(self.list_idx_injection, self.list_nmb_stems):
+            B += int(k)
+            segs.append((int(idx), B))
+        row_steps = 0
+        for s, (i0, Bs) in enumerate(segs):
+            i1 = segs[s + 1][0] if s + 1 < len(segs) else N
+            row_steps += (i1 - i0) * Bs
+        return segs, row_steps
 
     def planner_calibrated(self, recycled1: bool = False) -> bool:
         """Whether predict_transition_time's ACTIVE path has real measured
@@ -442,6 +502,8 @@ class BlendingEngine:
         p = self.predict_transition_time(recycled1=recycled1)
         if p["path"] == "fused":
             return self.dt_unet_step_fused is not None and self._dt_fused_output is not None
+        if p["path"] == "fused-multi":
+            return self.dt_unet_step_fused_multi is not None and self._dt_fused_output is not None
         sizes = {1 if recycled1 else 2}  # the edge batch
         for n in self.list_nmb_stems:
             n = int(n)
@@ -458,10 +520,15 @@ class BlendingEngine:
         with the cost model. Uncalibrated engines (no sync-overhead
         measurement / no prior fused run) default to fused — measured to
         win wherever dispatch round-trips are non-trivial."""
-        if self.dt_sync is None or self.dt_unet_step_fused is None:
+        cal = (
+            self.dt_unet_step_fused
+            if len(self.list_idx_injection) == 1
+            else self.dt_unet_step_fused_multi
+        )
+        if self.dt_sync is None or cal is None:
             return True
         p = self.predict_transition_time(recycled1=recycled1)
-        return p["t_fused_s"] is not None and p["t_fused_s"] <= p["t_per_level_s"]
+        return p["path"] != "per-level"
 
     @staticmethod
     def _observe(current: Optional[float], sample: float) -> float:
@@ -494,6 +561,7 @@ class BlendingEngine:
             # kept only as a documented stale fallback until then)
             self._dt_step_by_batch.clear()
             self.dt_unet_step_fused = None
+            self.dt_unet_step_fused_multi = None
             self._dt_fused_output = None
             self._dt_unet_step_measured = False
 
@@ -795,6 +863,20 @@ class BlendingEngine:
             # mix schedule.
             self._run_transition_fused(recycled1=ok1)
             return
+        if (
+            not ok2
+            and self._multilevel_fusable()
+            and gate != "0"
+            and (gate == "1" or self._fused_predicted_faster(ok1))
+        ):
+            # SEGMENTED multi-level fused transition (denoise_scan_tree_seg):
+            # the whole plan as ONE device call — sequential scan segments
+            # with a growing batch, rows entering at their injection step.
+            # Valid only under the predictive policy (placements across all
+            # levels are value-independent); executes exactly the per-level
+            # path's useful row-steps but at each depth's largest live batch.
+            self._run_transition_fused_multi(recycled1=ok1)
+            return
 
         if ok1 and ok2:
             list_latents1, list_latents2 = self.tree_latents[0], self.tree_latents[-1]
@@ -1023,19 +1105,7 @@ class BlendingEngine:
         order_rows = [0] + [n_edges + off + i for i in sorted_stems] + [e2 + off]
         D = B + off
         with self.timer.phase("vae_decode"):
-            pm1 = self.dh.decode_to_pm1_batched(finals)
-            u8 = self._fetch_keyframes_u8(pm1)
-            csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
-            chunk_of: dict[int, tuple[jax.Array, int]] = {}
-            for j0 in range(0, D, csize):
-                rows = order_rows[j0 : j0 + csize]
-                chunk = u8[jnp.asarray(rows)]
-                try:
-                    chunk.copy_to_host_async()
-                except Exception:
-                    pass
-                for r, row in enumerate(rows):
-                    chunk_of[row] = (chunk, r)
+            pm1, chunk_of = self._decode_fetch_chunks(finals, order_rows)
 
         M = N - idx_injection
         list1 = list(win_list) if recycled1 else [traj[i, 0:1] for i in range(N)]
@@ -1068,6 +1138,235 @@ class BlendingEngine:
         self.last_report.levels.append(
             {"idx_injection": idx_injection, "stems": k, "fused": True, "recycled": recycled1}
         )
+
+    def _decode_fetch_chunks(self, finals: jax.Array, order_rows: list[int]):
+        """Batched pm1 decode of the final latents + chunked async uint8
+        keyframe fetch in fract (left-to-right) order, so the streaming
+        movie writer can start encoding early gaps while later chunks are
+        still in flight. Returns (pm1, {decode_row: (chunk, idx)})."""
+        pm1 = self.dh.decode_to_pm1_batched(finals)
+        u8 = self._fetch_keyframes_u8(pm1)
+        csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
+        chunk_of: dict[int, tuple[jax.Array, int]] = {}
+        for j0 in range(0, len(order_rows), csize):
+            rows = order_rows[j0 : j0 + csize]
+            chunk = u8[jnp.asarray(rows)]
+            try:
+                chunk.copy_to_host_async()
+            except Exception:
+                pass
+            for r, row in enumerate(rows):
+                chunk_of[row] = (chunk, r)
+        return pm1, chunk_of
+
+    def _plan_multilevel(self, recycled1: bool):
+        """Simulate the per-level predictive placement loop across ALL
+        levels on the virgin two-edge tree — valid because the predictive
+        policy's placements never consume a measured value (gap
+        similarities update by predicted halving, and parents are found by
+        the reference's bracketing+shallower walk, blending_engine.py:
+        531-562, against the simulated tree state each level sees).
+
+        Returns (stems, sims): stems[i] describes batch row n_edges+i as
+        (fract, (p1_row, p2_row), parent_fract, level_idx, win1) — rows in
+        level order then placement order, exactly the scan's batch order —
+        and sims is the final predicted gap-similarity list in tree order.
+        """
+        n_edges = 1 if recycled1 else 2
+        e2 = n_edges - 1
+        fracts = [0.0, 1.0]
+        sims = [1.0]
+        idxinj = [0, 0]
+        # batch row of each simulated tree position (edge1 row is a dummy 0
+        # when recycled — win_mask substitutes the window for its state)
+        rowmap = [0, e2]
+        win1 = [True, False] if recycled1 else [False, False]
+        stems = []
+        next_row = n_edges
+        for idx_injection, k in zip(self.list_idx_injection, self.list_nmb_stems):
+            idx_injection, k = int(idx_injection), int(k)
+            lf = list(fracts)
+            ls = list(sims)
+            placed = []
+            for _ in range(k):
+                g = int(np.argmax(ls))
+                fm = (lf[g] + lf[g + 1]) / 2.0
+                b1, b2 = get_closest_idx(fm, fracts)
+                while idxinj[b1] >= idx_injection:
+                    b1 -= 1
+                while idxinj[b2] >= idx_injection:
+                    b2 += 1
+                placed.append((fm, b1, b2))
+                ls[g : g + 1] = [ls[g] * 0.5, ls[g] * 0.5]
+                lf.insert(g + 1, fm)
+            rows_of_level = []
+            for fm, b1, b2 in placed:
+                pf = (fm - fracts[b1]) / (fracts[b2] - fracts[b1])
+                stems.append((fm, (rowmap[b1], rowmap[b2]), pf, idx_injection, win1[b1]))
+                rows_of_level.append((fm, next_row))
+                next_row += 1
+            # insert the level into the simulated tree in fract order
+            for fm, row in sorted(rows_of_level):
+                pos = get_closest_idx(fm, fracts)[0] + 1
+                fracts.insert(pos, fm)
+                idxinj.insert(pos, idx_injection)
+                rowmap.insert(pos, row)
+                win1.insert(pos, False)
+            sims = ls
+        return stems, sims
+
+    def _run_transition_fused_multi(self, recycled1: bool = False):
+        """A whole MULTI-level transition as ONE device call
+        (denoise_scan_tree_seg): sequential scan segments with a growing
+        batch — each stem enters at its injection step, pinned to the live
+        parental mix by crossfeed coefficient 1.0, and deeper stems parent
+        on shallower IN-BATCH stem rows. Executes exactly the per-level
+        path's useful row-steps (no junk pre-pin work), at each depth's
+        largest live batch, with zero per-level dispatches — the full-depth
+        replacement for the reference's level loop
+        (blending_engine.py:354-362). Per-stem results equal the per-level
+        predictive path for deterministic solvers
+        (tests/test_fused_tree_multi.py)."""
+        N = self.num_inference_steps
+        n_edges = 1 if recycled1 else 2
+        e2 = n_edges - 1
+        win_list = self.tree_latents[0] if recycled1 else None
+        self.tree_fracts = [0.0, 1.0]
+        self.tree_idx_injection = [0, 0]
+        self.tree_similarities = [1.0]
+        stems, plan_sims = self._plan_multilevel(recycled1)
+        k_total = len(stems)
+        B = n_edges + k_total
+        segs, row_steps = self._seg_plan(recycled1)
+
+        noise2 = self.get_noise(self.seed2)
+        if recycled1:
+            lat0 = noise2  # [1] — entering stem rows initialise in-scan
+            cond_fracts = [1.0] + [f for f, _, _, _, _ in stems]
+            win_stack = jnp.concatenate(list(win_list), axis=0)  # [N,h,w,4]
+            # entering-state convention: step i mixes toward trajectory
+            # entry i-1 (dh:322-324); entry 0 is never read (coeff 0)
+            win_steps = jnp.concatenate([win_stack[:1], win_stack[:-1]], axis=0)
+            win_mask = np.zeros((B,), bool)
+            win_mask[e2] = self.branch1_crossfeed_power > 0.0
+            for i, (_, _, _, _, w1) in enumerate(stems):
+                win_mask[n_edges + i] = w1
+        else:
+            noise1 = self.get_noise(self.seed1)
+            lat0 = jnp.concatenate([noise1, noise2], axis=0)
+            cond_fracts = [0.0, 1.0] + [f for f, _, _, _, _ in stems]
+            win_steps = win_mask = None
+        cond = self._stack_conditionings(cond_fracts)
+        guidance = jnp.asarray([self._guidance_at(f) for f in cond_fracts], jnp.float32)
+
+        parent_idx = np.zeros((B, 2), np.int32)
+        parent_fract = np.zeros((B,), np.float32)
+        if not recycled1:
+            parent_idx[0] = (0, 0)
+        # edge 2's branch1-crossfeed target is edge 1: parent pair (edge1,
+        # anything) at fract 0 — the slerp returns parent 1 exactly
+        parent_idx[e2] = (0, 0)
+        for i, (_, prows, pf, _, _) in enumerate(stems):
+            parent_idx[n_edges + i] = prows
+            parent_fract[n_edges + i] = pf
+
+        coeffs = np.zeros((N, B), np.float32)
+        pins = np.zeros((B,), np.int32)
+        base_by_level: dict[int, np.ndarray] = {}
+        for i, (_, _, _, level, _) in enumerate(stems):
+            base = base_by_level.get(level)
+            if base is None:
+                base = np.asarray(
+                    parental_crossfeed_coeffs(
+                        N, level, self.parental_crossfeed_power,
+                        self.parental_crossfeed_range, self.parental_crossfeed_decay,
+                    ),
+                    np.float32,
+                )
+                base_by_level[level] = base
+            r = n_edges + i
+            coeffs[:, r] = base
+            coeffs[:level, r] = 0.0
+            # the pin: slerp fraction 1.0 == start exactly from the parental
+            # mix state level-1 (the reference's latents_start,
+            # blending_engine.py:440)
+            coeffs[level, r] = 1.0
+            pins[r] = level
+        if self.branch1_crossfeed_power > 0.0:
+            coeffs[:, e2] = branch1_crossfeed_coeffs(
+                N, self.branch1_crossfeed_power,
+                self.branch1_crossfeed_range, self.branch1_crossfeed_decay,
+            )
+
+        with self.timer.phase("denoise"):
+            t0 = time.time()
+            trajs = self.dh.run_tree_seg_batched(
+                cond, lat0, parent_idx, parent_fract, coeffs, guidance, segs,
+                win_steps=win_steps, win_mask=win_mask, pin_steps=pins,
+            )
+            _sync(trajs[-1])
+            if self.dh.last_run_was_warm:
+                self.dt_unet_step_fused_multi = self._observe(
+                    self.dt_unet_step_fused_multi, (time.time() - t0) / row_steps
+                )
+
+        # ONE batched decode for edges + stems; when recycled, edge 1's
+        # final latent joins so its keyframe rebuilds without an extra call
+        t_out0 = time.time()
+        fracts_only = [f for f, _, _, _, _ in stems]
+        sorted_stems = sorted(range(k_total), key=lambda i: fracts_only[i])
+        finals = (
+            trajs[-1][-1]
+            if not recycled1
+            else jnp.concatenate([win_stack[-1:], trajs[-1][-1]], axis=0)
+        )
+        off = 1 if recycled1 else 0
+        order_rows = [0] + [n_edges + off + i for i in sorted_stems] + [e2 + off]
+        with self.timer.phase("vae_decode"):
+            pm1, chunk_of = self._decode_fetch_chunks(finals, order_rows)
+
+        def row_entries(r: int) -> list:
+            """Per-step [1,h,w,4] trajectory slices of batch row r, from its
+            entry step to N (global step i of segment s is trajs[s][i-i0])."""
+            out = []
+            for s, (i0, Bs) in enumerate(segs):
+                if Bs <= r:
+                    continue
+                i1 = segs[s + 1][0] if s + 1 < len(segs) else N
+                out.extend(trajs[s][j, r : r + 1] for j in range(i1 - i0))
+            return out
+
+        list1 = list(win_list) if recycled1 else row_entries(0)
+        list2 = row_entries(e2)
+        self.tree_latents = (
+            [list1]
+            + [
+                [None] * stems[i][3] + row_entries(n_edges + i)
+                for i in sorted_stems
+            ]
+            + [list2]
+        )
+        self.tree_fracts = [0.0] + [fracts_only[i] for i in sorted_stems] + [1.0]
+        self.tree_idx_injection = [0] + [stems[i][3] for i in sorted_stems] + [0]
+        self.tree_similarities = list(plan_sims)
+        self.tree_final_imgs = [_PendingImage(*chunk_of[row]) for row in order_rows]
+        self._imgs_dev = [pm1[row] for row in order_rows]
+        with self.timer.phase("lpips_insert"):
+            self._sims_pending = self._dispatch_similarities()
+            if self._sims_pending is not None:
+                try:
+                    self._sims_pending.copy_to_host_async()
+                except Exception:
+                    pass
+        if self.dh.last_run_was_warm:
+            self._dt_fused_output = self._observe(self._dt_fused_output, time.time() - t_out0)
+        for idx_injection, k in zip(self.list_idx_injection, self.list_nmb_stems):
+            self.last_report.levels.append(
+                {
+                    "idx_injection": int(idx_injection), "stems": int(k),
+                    "fused": True, "seg": True, "recycled": recycled1,
+                }
+            )
 
     # ------------------------------------------------- edge (keyframe) paths
 

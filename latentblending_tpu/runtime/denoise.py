@@ -62,6 +62,11 @@ class DenoisePlan:
     # win=True: the tree scan additionally consumes a recycled-edge
     # per-step window (chained transitions) — distinct compiled signature
     win: bool = False
+    # segs=((start_step, batch), ...) selects denoise_scan_tree_seg: one
+    # compiled call containing SEQUENTIAL scan segments with a growing
+    # batch — rows enter at their injection step, so only useful
+    # (row, step) work executes (a whole multi-level tree plan fused)
+    segs: tuple = ()
 
     @property
     def exec_steps(self) -> int:
@@ -308,6 +313,139 @@ def denoise_scan_tree(
     return traj
 
 
+def denoise_scan_tree_seg(
+    unet_apply: Callable,
+    params,
+    plan: DenoisePlan,  # plan.segs = ((start_step, batch), ...) — static
+    latents_start: jax.Array,  # [B0, h, w, 4] — rows live from step 0 (edges)
+    cond: Conditioning,  # [B_total, ...]
+    parent_idx: jax.Array,  # [B_total, 2] int32 — in-batch parent rows
+    parent_fract: jax.Array,  # [B_total] f32 — parental mix fraction per row
+    mix_coeffs: jax.Array,  # [N, B_total] crossfeed fraction per step & row
+    sigmas: jax.Array,  # [N+1]
+    timesteps: jax.Array,  # [N]
+    guidance_scale: jax.Array,  # [B_total]
+    step_keys: Optional[jax.Array] = None,  # [N] PRNG keys (ancestral only)
+    win_steps: Optional[jax.Array] = None,  # [N, h, w, 4] recycled-edge states
+    win_mask: Optional[jax.Array] = None,  # [B_total] bool
+    pin_steps: Optional[jax.Array] = None,  # [B_total] int32
+) -> tuple:
+    """The SEGMENTED multi-level fused tree scan: a whole multi-level
+    branching plan as ONE compiled device call.
+
+    denoise_scan_tree fuses a single level by running every row for all N
+    steps — priced N·B row-steps, which the cost model rejects for deep
+    multi-level plans (rows injected at step 27 of 30 would pay 27 junk
+    steps). Here the call is a SEQUENCE of lax.scans over step ranges
+    [i0_s, i0_{s+1}) whose batch grows at each boundary: batch rows are
+    ordered by injection step, so the live rows of segment s are exactly
+    the prefix [0, B_s). Only useful (row, step) work executes — the same
+    row-step count as the per-level path — but each stem runs in the
+    largest batch alive at its depth (B-sweep MFU gain) and the whole
+    transition is one dispatch (replaces the reference's per-level loop,
+    blending_engine.py:354-362, at full depth).
+
+    A row entering at segment s is initialised to its parent-1 state (any
+    finite value works) and PINNED by its crossfeed coefficient of 1.0 at
+    its first step: the in-scan slerp replaces its state with the live
+    parental mix — states entering step i are trajectory entries i-1, so
+    the pin equals the per-level path's latents_start = mix_traj[i0-1]
+    exactly (reference blending_engine.py:440-450). Parents are always in
+    earlier segments (strictly shallower, blending_engine.py:549-562), so
+    their rows are already live. Validity requires placements across ALL
+    levels to be value-independent — the engine gates this path to the
+    predictive placement policy (single-level plans are value-independent
+    under any policy and keep denoise_scan_tree).
+
+    Returns a tuple of per-segment trajectories ([len_s, B_s, h, w, 4]);
+    global step i of a row r alive in segment s is trajs[s][i - i0_s, r].
+    """
+    assert plan.segs, "plan.segs must be set for the segmented tree scan"
+    assert plan.idx_start == 0
+    N = plan.num_steps
+    if step_keys is None:
+        if plan.sched == "euler_ancestral":
+            raise ValueError(
+                "plan.sched='euler_ancestral' requires explicit step_keys "
+                "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
+            )
+        step_keys = jax.random.split(jax.random.PRNGKey(0), N)
+    B_total = parent_idx.shape[0]
+    if pin_steps is None:
+        pin_steps = jnp.zeros((B_total,), jnp.int32)
+
+    from latentblending_tpu.ops.interp import interpolate_spherical_batched
+
+    sigma_w, sigma_prev_w, sigma_next_w, t_w, use2_w = _step_tables(plan, sigmas, timesteps)
+    # per-(step, row) 2nd-order validity: a row's dpmpp history only exists
+    # after its pin step (same gating as denoise_scan_tree)
+    use2_mat = use2_w[:, None] & (jnp.arange(N)[:, None] > pin_steps[None, :])
+
+    def seg_body(p1s, p2s, pf_s, pe, pool, tids, g_s, wm_s):
+        def body(carry, step):
+            latents, old_denoised = carry
+            if win_steps is None:
+                c_t, sigma, sigma_prev, sigma_next, t, key, use2 = step
+                p1_state = jnp.take(latents, p1s, axis=0)
+            else:
+                c_t, sigma, sigma_prev, sigma_next, t, key, use2, w_t = step
+                p1_state = jnp.where(
+                    wm_s[:, None, None, None],
+                    jnp.broadcast_to(w_t[None], latents.shape).astype(latents.dtype),
+                    jnp.take(latents, p1s, axis=0),
+                )
+            m_t = interpolate_spherical_batched(p1_state, jnp.take(latents, p2s, axis=0), pf_s)
+            latents = slerp_batched_auto(latents, m_t, c_t)
+            new_latents, denoised = _eps_and_step(
+                plan, unet_apply, params, pe, pool, tids, g_s,
+                latents, old_denoised, sigma, sigma_prev, sigma_next, t, key,
+                use2[:, None, None, None],
+            )
+            return (new_latents, denoised), new_latents
+
+        return body
+
+    lat = latents_start
+    old_den = jnp.zeros(latents_start.shape, jnp.float32)
+    trajs = []
+    for s, (i0, Bs) in enumerate(plan.segs):
+        i1 = plan.segs[s + 1][0] if s + 1 < len(plan.segs) else N
+        Bprev = lat.shape[0]
+        assert Bs >= Bprev, "segment batches must be nondecreasing"
+        if Bs > Bprev:
+            # entering rows: finite placeholder (parent-1's current state);
+            # the coeff-1.0 slerp at their first step performs the real pin
+            p1e = jnp.clip(parent_idx[Bprev:Bs, 0], 0, Bprev - 1)
+            enter = jnp.take(lat, p1e, axis=0)
+            lat = jnp.concatenate([lat, enter.astype(lat.dtype)], axis=0)
+            old_den = jnp.concatenate(
+                [old_den, jnp.zeros(enter.shape, jnp.float32)], axis=0
+            )
+        cond_s = Conditioning(
+            prompt_embeds=cond.prompt_embeds[:Bs],
+            pooled_embeds=cond.pooled_embeds[:Bs],
+            time_ids=cond.time_ids[:Bs],
+            neg_prompt_embeds=None if cond.neg_prompt_embeds is None else cond.neg_prompt_embeds[:Bs],
+            neg_pooled_embeds=None if cond.neg_pooled_embeds is None else cond.neg_pooled_embeds[:Bs],
+            neg_time_ids=None if cond.neg_time_ids is None else cond.neg_time_ids[:Bs],
+        )
+        pe, pool, tids = _fold_cfg(plan, cond_s)
+        body = seg_body(
+            parent_idx[:Bs, 0], parent_idx[:Bs, 1], parent_fract[:Bs],
+            pe, pool, tids, guidance_scale[:Bs],
+            None if win_mask is None else win_mask[:Bs],
+        )
+        steps = (
+            mix_coeffs[i0:i1, :Bs], sigma_w[i0:i1], sigma_prev_w[i0:i1],
+            sigma_next_w[i0:i1], t_w[i0:i1], step_keys[i0:i1], use2_mat[i0:i1, :Bs],
+        )
+        if win_steps is not None:
+            steps = steps + (win_steps[i0:i1],)
+        (lat, old_den), ys = jax.lax.scan(body, (lat, old_den), steps)
+        trajs.append(ys)
+    return tuple(trajs)
+
+
 class DenoiseRunner:
     """Owns jitted compiled variants of denoise_scan keyed by DenoisePlan.
 
@@ -333,7 +471,10 @@ class DenoiseRunner:
     def _get_jitted(self, plan: DenoisePlan) -> Callable:
         fn = self._jitted.get(plan)
         if fn is None:
-            scan_fn = denoise_scan_tree if plan.tree else denoise_scan
+            if plan.segs:
+                scan_fn = denoise_scan_tree_seg
+            else:
+                scan_fn = denoise_scan_tree if plan.tree else denoise_scan
             fn = jax.jit(functools.partial(scan_fn, self._unet_apply, plan=plan))
             self._jitted[plan] = fn
         return fn
@@ -380,6 +521,32 @@ class DenoiseRunner:
         """Execute one FUSED tree scan (denoise_scan_tree): edges + stems of
         a whole level in a single compiled call."""
         assert plan.tree
+        assert plan.win == (win_steps is not None), "plan.win must match window presence"
+        if step_keys is None and plan.sched == "euler_ancestral":
+            raise ValueError(
+                "plan.sched='euler_ancestral' requires explicit step_keys "
+                "(a per-call PRNG stream); see SDXLHolder.reset_noise_stream"
+            )
+        kwargs = dict(
+            latents_start=latents_start, cond=cond,
+            parent_idx=jnp.asarray(parent_idx, jnp.int32),
+            parent_fract=jnp.asarray(parent_fract, jnp.float32),
+            mix_coeffs=mix_coeffs, sigmas=jnp.asarray(schedule.sigmas),
+            timesteps=jnp.asarray(schedule.timesteps), guidance_scale=guidance_scale,
+            step_keys=step_keys,
+        )
+        if win_steps is not None:
+            kwargs["win_steps"] = win_steps
+            kwargs["win_mask"] = jnp.asarray(win_mask, bool)
+        if pin_steps is not None:
+            kwargs["pin_steps"] = jnp.asarray(pin_steps, jnp.int32)
+        return self._run_kwargs(plan, params, kwargs, flops)
+
+    def run_tree_seg(self, plan: DenoisePlan, params, latents_start, cond, parent_idx, parent_fract, mix_coeffs, schedule: SchedulerState, guidance_scale, flops: float | None = None, step_keys=None, win_steps=None, win_mask=None, pin_steps=None):
+        """Execute one SEGMENTED multi-level fused tree scan
+        (denoise_scan_tree_seg): a whole multi-level plan in a single
+        compiled call. Returns the per-segment trajectory tuple."""
+        assert plan.tree and plan.segs
         assert plan.win == (win_steps is not None), "plan.win must match window presence"
         if step_keys is None and plan.sched == "euler_ancestral":
             raise ValueError(

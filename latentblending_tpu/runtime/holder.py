@@ -641,6 +641,63 @@ class SDXLHolder:
             win_mask=win_mask, pin_steps=pin_steps,
         )
 
+    def run_tree_seg_batched(
+        self,
+        cond: Conditioning,
+        latents_start: jax.Array,  # [B0,h,w,4] — edge rows only
+        parent_idx,  # [B,2] int — in-batch parent rows (self for edges)
+        parent_fract,  # [B] float — parental slerp fraction per row
+        coeffs,  # [N,B] float — crossfeed coefficient per (step,row)
+        guidance_scale,  # [B]
+        segs,  # ((start_step, batch), ...) — rows ordered by injection step
+        win_steps=None,  # [N,h,w,4] recycled-edge entering-states, or None
+        win_mask=None,  # [B] bool — rows whose parent-1 is the window
+        pin_steps=None,  # [B] int — injection step per row (0 = edge)
+    ) -> tuple:
+        """ONE fused SEGMENTED scan computing a whole MULTI-level plan:
+        sequential scan segments with a growing batch — each row executes
+        only its useful steps, at the largest batch alive at its depth
+        (denoise_scan_tree_seg). Replaces the per-level dispatch loop
+        (reference blending_engine.py:354-362) at full depth. Single-device
+        path, same reason as run_tree_batched."""
+        assert self.mesh is None, "fused tree scan is a single-device path"
+        B = int(parent_idx.shape[0])
+        N = self.num_inference_steps
+        use_cfg = self.do_classifier_free_guidance
+        segs = tuple((int(i), int(b)) for i, b in segs)
+        assert segs[0][0] == 0 and segs[-1][1] == B
+        plan = DenoisePlan(
+            num_steps=N, idx_start=0, batch=B, use_cfg=use_cfg,
+            guidance_rescale=float(self.guidance_rescale) if use_cfg else 0.0,
+            sched=self.schedule.config.scheduler_type, tree=True,
+            win=win_steps is not None, segs=segs,
+        )
+        step_keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(self.noise_seed_base)), self._noise_call), N
+        )
+        self._noise_call += 1
+        self.last_run_was_warm = self.runner.is_warm(plan)
+        from latentblending_tpu.ops.flops import unet_forward_flops
+
+        h, w = latents_start.shape[1], latents_start.shape[2]
+        flops = 0.0
+        for s, (i0, Bs) in enumerate(segs):
+            i1 = segs[s + 1][0] if s + 1 < len(segs) else N
+            flops += (i1 - i0) * unet_forward_flops(
+                self.spec.unet, h, w, Bs * (2 if use_cfg else 1)
+            )
+        cw = np.asarray(coeffs, np.float32).copy()
+        cw[0, :] = 0.0  # step 0 has no predecessor state to mix toward
+        if pin_steps is None:
+            pin_steps = np.zeros((B,), np.int32)
+        return self.runner.run_tree_seg(
+            plan, self.params["unet"], latents_start.astype(self.dtype), cond,
+            parent_idx, parent_fract, jnp.asarray(cw), self.schedule, guidance_scale,
+            flops=flops, step_keys=step_keys,
+            win_steps=None if win_steps is None else win_steps.astype(self.dtype),
+            win_mask=win_mask, pin_steps=pin_steps,
+        )
+
     def run_diffusion(
         self,
         text_embeddings,

@@ -216,6 +216,7 @@ def _result_line(label, wall, n_frames, be, dh, mesh, weights, setup_s,
         "similarity_metric": be.similarity_metric,
         "placement_policy": be.placement_policy,
         "writer_backend": getattr(be, "last_writer_backend", None),
+        "jpeg_quality": getattr(be, "last_jpeg_quality", None),
     }
     if pred is not None:
         detail["planner_predicted_s"] = round(pred["t_predicted_s"], 2)

@@ -1105,7 +1105,7 @@ class BlendingEngine:
         order_rows = [0] + [n_edges + off + i for i in sorted_stems] + [e2 + off]
         D = B + off
         with self.timer.phase("vae_decode"):
-            pm1, chunk_of = self._decode_fetch_chunks(finals, order_rows)
+            pm1_of, chunk_of = self._decode_fetch_chunks(finals, order_rows)
 
         M = N - idx_injection
         list1 = list(win_list) if recycled1 else [traj[i, 0:1] for i in range(N)]
@@ -1122,7 +1122,7 @@ class BlendingEngine:
         self.tree_fracts = [0.0] + [fracts[i] for i in sorted_stems] + [1.0]
         self.tree_idx_injection = [0] + [idx_injection] * k + [0]
         self.tree_final_imgs = [_PendingImage(*chunk_of[row]) for row in order_rows]
-        self._imgs_dev = [pm1[row] for row in order_rows]
+        self._imgs_dev = [pm1_of[row] for row in order_rows]
         with self.timer.phase("lpips_insert"):
             self._sims_pending = self._dispatch_similarities()
             if self._sims_pending is not None:
@@ -1140,24 +1140,29 @@ class BlendingEngine:
         )
 
     def _decode_fetch_chunks(self, finals: jax.Array, order_rows: list[int]):
-        """Batched pm1 decode of the final latents + chunked async uint8
-        keyframe fetch in fract (left-to-right) order, so the streaming
-        movie writer can start encoding early gaps while later chunks are
-        still in flight. Returns (pm1, {decode_row: (chunk, idx)})."""
-        pm1 = self.dh.decode_to_pm1_batched(finals)
-        u8 = self._fetch_keyframes_u8(pm1)
+        """Chunked decode→convert→fetch PIPELINE in fract (left-to-right)
+        order: each chunk of keyframes is VAE-decoded, converted to the
+        fetch format, and copied host-ward as its OWN device calls, so the
+        streaming movie writer starts encoding the first gaps while later
+        chunks are still decoding on device. (A single monolithic
+        decode+convert would make the first keyframe land only after ALL
+        output device work — measured ~2.5 s of serial wait at 1024²×12
+        keyframes.) Returns ({row: pm1_row}, {row: (chunk, idx)})."""
         csize = max(1, int(os.environ.get("LB_FETCH_CHUNK", "4")))
+        pm1_of: dict[int, jax.Array] = {}
         chunk_of: dict[int, tuple[jax.Array, int]] = {}
         for j0 in range(0, len(order_rows), csize):
             rows = order_rows[j0 : j0 + csize]
-            chunk = u8[jnp.asarray(rows)]
+            pm1 = self.dh.decode_to_pm1_batched(finals[jnp.asarray(rows)])
+            chunk = self._fetch_keyframes_u8(pm1)
             try:
                 chunk.copy_to_host_async()
             except Exception:
                 pass
             for r, row in enumerate(rows):
+                pm1_of[row] = pm1[r]
                 chunk_of[row] = (chunk, r)
-        return pm1, chunk_of
+        return pm1_of, chunk_of
 
     def _plan_multilevel(self, recycled1: bool):
         """Simulate the per-level predictive placement loop across ALL
@@ -1323,7 +1328,7 @@ class BlendingEngine:
         off = 1 if recycled1 else 0
         order_rows = [0] + [n_edges + off + i for i in sorted_stems] + [e2 + off]
         with self.timer.phase("vae_decode"):
-            pm1, chunk_of = self._decode_fetch_chunks(finals, order_rows)
+            pm1_of, chunk_of = self._decode_fetch_chunks(finals, order_rows)
 
         def row_entries(r: int) -> list:
             """Per-step [1,h,w,4] trajectory slices of batch row r, from its
@@ -1350,7 +1355,7 @@ class BlendingEngine:
         self.tree_idx_injection = [0] + [stems[i][3] for i in sorted_stems] + [0]
         self.tree_similarities = list(plan_sims)
         self.tree_final_imgs = [_PendingImage(*chunk_of[row]) for row in order_rows]
-        self._imgs_dev = [pm1[row] for row in order_rows]
+        self._imgs_dev = [pm1_of[row] for row in order_rows]
         with self.timer.phase("lpips_insert"):
             self._sims_pending = self._dispatch_similarities()
             if self._sims_pending is not None:
@@ -1813,6 +1818,7 @@ class BlendingEngine:
         if backend and getattr(ms, "used_coef_lerp", False):
             backend += "+coef-lerp"
         self.last_writer_backend = backend
+        self.last_jpeg_quality = getattr(ms, "jpeg_quality", None)
 
     def get_state_dict(self) -> dict:
         state_dict = {}

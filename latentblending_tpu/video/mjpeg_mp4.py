@@ -211,13 +211,27 @@ class MjpegMp4Writer:
     """Streaming MJPEG .mp4 writer: write_frame(uint8 HWC RGB) … finalize()."""
 
     def __init__(self, fp_movie: str, fps: float = 30, shape_hw: tuple[int, int] | None = None,
-                 quality: int | None = None, workers: int | None = None):
+                 quality: int | None = None, workers: int | None = None,
+                 max_bpp: float | None = None):
         if quality is None:
             quality = int(os.environ.get("LB_JPEG_QUALITY", "90"))
+        if max_bpp is None:
+            max_bpp = float(os.environ.get("LB_MJPEG_MAX_BPP", "2.5"))
         self.fp_movie = fp_movie
         self.fps = fps
         self.shape_hw = tuple(shape_hw) if shape_hw is not None else None
         self.quality = int(quality)
+        # Rate control: per-frame byte budget = max_bpp × H×W / 8 (0 = off).
+        # MJPEG has no inter-frame prediction, so the cap is per sample; the
+        # default (2.5 bits/pixel ≈ 78 Mbit/s at 1024²30fps) sits above any
+        # photographic content at q90 (~0.8-1.5 bpp) and binds only on
+        # noise-like frames, whose q90 samples (~5 bpp) would otherwise
+        # dominate encode time and disk writeback. Quality settles ONCE, on
+        # the first frame (calibrate_quality), so every sample of a movie
+        # shares quant tables — required by the coefficient-lerp fast path.
+        self.max_bpp = float(max_bpp)
+        self._q_min = min(self.quality, int(os.environ.get("LB_MJPEG_MIN_Q", "55")))
+        self._q_settled = False
         self.nmb_frames = 0
         self._sizes: list[int] = []
         self._f = None
@@ -239,16 +253,56 @@ class MjpegMp4Writer:
         self._io_threaded = os.environ.get("LB_MJPEG_IO_THREAD", "1") != "0"
 
     # -- encode ------------------------------------------------------------
-    def _encode(self, rgb: np.ndarray, bgr_buf: np.ndarray | None = None) -> bytes:
+    def _encode(self, rgb: np.ndarray, bgr_buf: np.ndarray | None = None,
+                quality: int | None = None) -> bytes:
         import cv2
 
         if bgr_buf is None or bgr_buf.shape != rgb.shape:
             bgr_buf = np.empty_like(rgb)
         cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR, dst=bgr_buf)
-        ok, jpg = cv2.imencode(".jpg", bgr_buf, [int(cv2.IMWRITE_JPEG_QUALITY), self.quality])
+        q = self.quality if quality is None else int(quality)
+        ok, jpg = cv2.imencode(".jpg", bgr_buf, [int(cv2.IMWRITE_JPEG_QUALITY), q])
         if not ok:
             raise RuntimeError("cv2.imencode('.jpg') failed")
         return jpg.tobytes()
+
+    # -- rate control --------------------------------------------------------
+    def byte_budget(self) -> int | None:
+        """Per-frame byte cap from max_bpp, or None when uncapped. A 64 KiB
+        floor keeps the cap inactive for small frames (previews, tests)
+        where fixed JPEG header/entropy overhead dominates the bpp math —
+        the cap targets video-scale output (512²+)."""
+        if self.max_bpp <= 0 or self.shape_hw is None:
+            return None
+        return max(65536, int(self.max_bpp * self.shape_hw[0] * self.shape_hw[1] / 8))
+
+    def calibrate_quality(self, encode_at) -> bytes:
+        """One-shot rate control: settle self.quality so the first sample
+        fits the per-frame byte budget, then return that sample's bytes at
+        the settled quality. encode_at(q: int) -> bytes. Binary search over
+        [q_min, quality], ≤6 probe encodes, runs once per movie — a fixed
+        quality keeps all samples' quant tables identical (coef-lerp pairs
+        stay compatible, output deterministic)."""
+        jpg = encode_at(self.quality)
+        self._q_settled = True
+        budget = self.byte_budget()
+        if budget is None or len(jpg) <= budget or self.quality <= self._q_min:
+            return jpg
+        lo, hi = self._q_min, self.quality - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            j = encode_at(mid)
+            if len(j) <= budget:
+                best = (mid, j)
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:  # even q_min exceeds the budget — take q_min
+            self.quality = self._q_min
+            return encode_at(self._q_min)
+        self.quality, jpg = best
+        return jpg
 
     # -- container ---------------------------------------------------------
     def _open(self, h: int, w: int):
@@ -308,7 +362,13 @@ class MjpegMp4Writer:
             self._open(h, w)
         if img.shape[:2] != tuple(self.shape_hw):
             raise ValueError(f"frame shape {img.shape[:2]} != movie shape {self.shape_hw}")
-        if self._workers <= 0:
+        if not self._q_settled:
+            # first frame settles the rate-controlled quality for the whole
+            # movie (pooled path included: workers inherit the settled value)
+            if self._bgr is None:
+                self._bgr = np.empty_like(img)
+            self._emit(self.calibrate_quality(lambda q: self._encode(img, self._bgr, q)))
+        elif self._workers <= 0:
             if self._bgr is None:
                 self._bgr = np.empty_like(img)
             self._emit(self._encode(img, self._bgr))
@@ -330,7 +390,7 @@ class MjpegMp4Writer:
                     self._free.append(buf2)
         self.nmb_frames += 1
 
-    def encode_frame(self, img: np.ndarray) -> bytes:
+    def encode_frame(self, img: np.ndarray, quality: int | None = None) -> bytes:
         """Encode one uint8 HWC RGB frame to JPEG with this writer's exact
         parameters (quality, libjpeg defaults) WITHOUT writing it — the
         coefficient-lerp fast path needs the keyframes' JPEG bytes both as
@@ -339,7 +399,7 @@ class MjpegMp4Writer:
         assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3, "expects uint8 HWC RGB"
         if self._bgr is None or self._bgr.shape != img.shape:
             self._bgr = np.empty_like(img)
-        return self._encode(img, self._bgr)
+        return self._encode(img, self._bgr, quality)
 
     def write_encoded(self, jpg: bytes):
         """Append an already-encoded JPEG sample. Drains any pooled pixel

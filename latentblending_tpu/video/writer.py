@@ -73,6 +73,9 @@ class MovieSaver:
         # in-between frames — recorded for bench-line diagnosability
         self.backend: str | None = None
         self.used_coef_lerp = False
+        # MJPEG backend: the rate-controlled quality the movie settled on
+        # (mjpeg_mp4.calibrate_quality) — recorded for bench diagnosability
+        self.jpeg_quality: int | None = None
         self._writer = None
         self._proc = None
         self._mjpeg = None
@@ -164,6 +167,7 @@ class MovieSaver:
 
     def finalize(self):
         if self._mjpeg is not None:
+            self.jpeg_quality = self._mjpeg.quality
             self._mjpeg.finalize()
             self._mjpeg = None
         elif self._proc is not None:
@@ -320,11 +324,19 @@ def write_frames_interp(ms: MovieSaver, handles: list, nmb_frames_target: int,
     def kf_hw(a) -> tuple[int, int]:
         return i420_hw(a) if is_i420(a) else a.shape[:2]
 
-    def kf_encode(a) -> bytes:
+    def kf_encode_at(a, q: int) -> bytes:
         if is_i420(a):
             h, w = i420_hw(a)
-            return encode_i420(a, w, h, mj.quality)
-        return mj.encode_frame(a)
+            return encode_i420(a, w, h, q)
+        return mj.encode_frame(a, quality=q)
+
+    def kf_encode(a) -> bytes:
+        # first keyframe settles the writer's rate-controlled quality for
+        # the whole movie (mjpeg_mp4.calibrate_quality) — every later
+        # sample shares its quant tables, so coef-lerp pairs stay valid
+        if not mj._q_settled:
+            return mj.calibrate_quality(lambda q: kf_encode_at(a, q))
+        return kf_encode_at(a, mj.quality)
 
     K = len(handles)
     counts = frame_insert_counts(K, nmb_frames_target)

@@ -224,3 +224,82 @@ def test_io_thread_write_error_propagates(tmp_path, monkeypatch):
     w._f = real_f
     w._io_exc = None
     w.finalize()
+
+
+def _sample_sizes(fp):
+    from latentblending_tpu.video.mjpeg_mp4 import read_samples
+
+    samples, _, _ = read_samples(fp)
+    return [len(s) for s in samples]
+
+
+def test_rate_control_caps_noise_frames(tmp_path):
+    """Noise-like 512² frames blow past any sane bitrate at q90 (~5 bpp);
+    the default 2.5 bpp cap settles a lower quality ONCE on the first frame.
+    Uniform noise is incompressible enough that even q_min may exceed the
+    budget — the contract is: either the sample fits, or quality bottomed
+    out at q_min. Real photographic content (~0.8-1.5 bpp at q90) never
+    triggers any of this."""
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (512, 512, 3), np.uint8) for _ in range(5)]
+    # uncapped baseline for the same first frame
+    w0 = MjpegMp4Writer(str(tmp_path / "base.mp4"), fps=30, workers=0, max_bpp=0)
+    base = len(w0.encode_frame(frames[0]))
+    w0.finalize()
+    fp = str(tmp_path / "cap.mp4")
+    w = MjpegMp4Writer(fp, fps=30, workers=0)
+    for f in frames:
+        w.write_frame(f)
+    budget = w.byte_budget()
+    assert budget == 2.5 * 512 * 512 / 8
+    assert w.quality < 90 and w._q_settled  # the cap bound and lowered quality
+    cap_ok = w.quality == w._q_min  # noise may not fit even at q_min
+    w.finalize()
+    sizes = _sample_sizes(fp)
+    assert sizes[0] <= budget or cap_ok
+    assert sizes[0] < 0.8 * base  # meaningfully smaller than uncapped q90
+    # later frames share the settled quality; same-statistics noise frames
+    # stay in the first sample's neighborhood
+    assert all(s <= sizes[0] * 1.2 for s in sizes)
+
+
+def test_rate_control_disabled_and_floor(tmp_path, monkeypatch):
+    rng = np.random.default_rng(12)
+    noise512 = rng.integers(0, 256, (512, 512, 3), np.uint8)
+    # LB_MJPEG_MAX_BPP=0 disables the cap entirely
+    monkeypatch.setenv("LB_MJPEG_MAX_BPP", "0")
+    w = MjpegMp4Writer(str(tmp_path / "off.mp4"), fps=30, workers=0)
+    w.write_frame(noise512)
+    assert w.quality == 90 and w.byte_budget() is None
+    w.finalize()
+    monkeypatch.delenv("LB_MJPEG_MAX_BPP")
+    # tiny frames ride the 64 KiB floor — quality untouched even for noise
+    w = MjpegMp4Writer(str(tmp_path / "tiny.mp4"), fps=30, workers=0)
+    w.write_frame(rng.integers(0, 256, (64, 64, 3), np.uint8))
+    assert w.byte_budget() == 65536
+    assert w.quality == 90
+    w.finalize()
+
+
+def test_rate_control_coef_lerp_path(tmp_path, monkeypatch):
+    """The coefficient-lerp writer path calibrates on the FIRST keyframe, so
+    all keyframe/in-between samples share quant tables and fit the budget."""
+    from latentblending_tpu.video.writer import write_frames_interp
+
+    monkeypatch.setenv("LB_COEF_LERP", "1")
+    rng = np.random.default_rng(13)
+    kfs = [rng.integers(0, 256, (512, 512, 3), np.uint8) for _ in range(3)]
+    fp = str(tmp_path / "coef.mp4")
+    ms = MovieSaver(fp, fps=30, shape_hw=(512, 512))
+    write_frames_interp(ms, kfs, 12)
+    ms.finalize()
+    assert ms.used_coef_lerp
+    assert ms.jpeg_quality is not None and ms.jpeg_quality < 90
+    w0 = MjpegMp4Writer(str(tmp_path / "base.mp4"), fps=30, workers=0, max_bpp=0)
+    base = len(w0.encode_frame(kfs[0]))
+    w0.finalize()
+    sizes = _sample_sizes(fp)
+    assert len(sizes) == 12
+    # every sample (keyframes AND coef-lerped in-betweens) rides the settled
+    # quality — meaningfully smaller than uncapped q90 on this content
+    assert all(s < 0.8 * base for s in sizes)

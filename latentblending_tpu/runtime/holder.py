@@ -315,19 +315,27 @@ class SDXLHolder:
 
     @property
     def decode_chunk(self) -> int:
-        """HBM plan (v5e 16GB): batched VAE decodes run in chunks so the
-        full-res decoder activations (H·W·128ch·B plus the 2× upsample
-        stages) stay bounded. Activation bytes scale with H·W, so the chunk
-        shrinks with output area: 8 at ≤512² bf16, 2 at 1024² (alongside the
-        5.1 GB bf16 UNet + text towers the decode peak must fit in HBM)."""
+        """VAE decode batch per device call, set from on-chip measurement
+        (tools/profile_vae.py, v5e): at ≤512² batching wins — B=8 runs at
+        0.032 s/img (40% MFU) vs 0.067 at B=1 — but at 1024² it LOSES:
+        B=1 is 0.200 s/img (27% MFU) vs 0.248 at B=4, because the decoder's
+        full-res activations (H·W·128ch·B bf16 through two 2× upsample
+        stages ≈ 256 MB/img at 1024²) blow past what v5e HBM can hold
+        alongside the 5.1 GB UNet + text towers, and XLA trades MXU
+        utilization for spills. Chunk=1 at 1024² also lets the per-chunk
+        decode→convert→fetch pipeline ship the first keyframes earlier."""
         if self._decode_chunk_override is not None:
             return self._decode_chunk_override
         env = os.environ.get("LB_DECODE_CHUNK")
         if env:
             return max(1, int(env))
         base = 8 if self._vae_dtype == jnp.bfloat16 else 4
-        area_scale = max(1, (self.height_img * self.width_img) // (512 * 512))
-        return max(1, base // area_scale)
+        area = self.height_img * self.width_img
+        if area >= 1024 * 1024:
+            return 1
+        if area <= 512 * 512:
+            return base
+        return max(1, base // 4)
 
     @decode_chunk.setter
     def decode_chunk(self, value: int):

@@ -1744,7 +1744,7 @@ class BlendingEngine:
         else:
             write_frames_interp(ms, self.tree_final_imgs, target)
         ms.finalize()
-        self._note_writer(ms)
+        self.note_writer(ms)
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
 
     def run_movie_transition(
@@ -1804,21 +1804,25 @@ class BlendingEngine:
             else:
                 write_frames_interp(ms, self.tree_final_imgs, target, resolve=resolve)
             ms.finalize()
-        self._note_writer(ms)
+        self.note_writer(ms)
         log.info(f"wrote {ms.nmb_frames} frames to {fp_movie}")
         self._resolve_keyframes(batch_cache)
         self._finalize_report()
         return self.tree_final_imgs
 
-    def _note_writer(self, ms) -> None:
+    def note_writer(self, ms) -> None:
         """Record which movie backend actually ran (bench diagnosability —
         no driver line could previously say whether mjpeg/coef-lerp or a
-        fallback produced the write tail)."""
+        fallback produced the write tail). Public: external streaming
+        callers that own their MovieSaver (engine/session.py) call this
+        after finalize so their bench/report lines carry the backend."""
         backend = getattr(ms, "backend", None)
         if backend and getattr(ms, "used_coef_lerp", False):
             backend += "+coef-lerp"
         self.last_writer_backend = backend
         self.last_jpeg_quality = getattr(ms, "jpeg_quality", None)
+
+    _note_writer = note_writer  # back-compat alias
 
     def get_state_dict(self) -> dict:
         state_dict = {}

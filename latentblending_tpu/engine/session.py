@@ -198,6 +198,6 @@ def run_multi_transition(
 
         be.last_report = TransitionReport.merged(part_reports)
     ms.finalize()
-    be._note_writer(ms)
+    be.note_writer(ms)
     log.info(f"movie saved to {fp_movie} ({ms.nmb_frames} frames)")
     return fp_movie

@@ -796,10 +796,18 @@ class BlendingEngine:
             self._keyframe_fmt = "rgb"
         return list(self.tree_final_imgs)
 
-    def finalize_report(self) -> TransitionReport:
+    def finalize_report(self, sync_sims: bool = True) -> TransitionReport:
         """Land any deferred similarity pass and seal last_report — the
-        closing half of the run_transition_streaming contract."""
-        self._finalize_report()
+        closing half of the run_transition_streaming contract.
+
+        sync_sims=False (chained-movie sessions): instead of blocking on
+        the report-only gap-similarity device computation — which sits at
+        the END of this transition's device queue, so syncing it serializes
+        the host against the whole transition before the NEXT part can
+        dispatch — the device handle is stashed on the report
+        (TransitionReport.sims_pending) and lands later via resolve_sims()
+        / TransitionReport.merged(). lpips_gaps is empty until then."""
+        self._finalize_report(sync_sims=sync_sims)
         return self.last_report
 
     def resolve_keyframes(self, batch_cache: Optional[dict] = None) -> list:
@@ -828,6 +836,17 @@ class BlendingEngine:
             else:
                 assert len(fixed_seeds) == 2, "Supply a list with len = 2"
             self.seed1, self.seed2 = int(fixed_seeds[0]), int(fixed_seeds[1])
+
+        # drain a previous streaming transition's deferred device tail
+        # OUTSIDE any phase timer: the TPU executes in order, so without
+        # this the next denoise phase would absorb the prior part's
+        # decode/sims/fetch drain and deflate its measured MFU (the wall is
+        # the same either way — the device is saturated — this is purely
+        # honest attribution)
+        tail = getattr(self, "_queue_tail", None)
+        if tail is not None:
+            _sync(tail)
+            self._queue_tail = None
 
         t_run0 = time.time()
         self.timer = PhaseTimer()
@@ -974,15 +993,25 @@ class BlendingEngine:
                 resolved.append(im)
         self.tree_final_imgs = resolved
 
-    def _finalize_report(self):
+    def _finalize_report(self, sync_sims: bool = True):
+        deferred = False
         if getattr(self, "_sims_pending", None) is not None:
-            with self.timer.phase("lpips_sync"):
-                # ONE host copy — per-element float() would pay a relay
-                # round-trip per gap (~0.05 s each, measured)
-                self.tree_similarities = np.asarray(self._sims_pending, np.float64).tolist()
+            if sync_sims:
+                with self.timer.phase("lpips_sync"):
+                    # ONE host copy — per-element float() would pay a relay
+                    # round-trip per gap (~0.05 s each, measured)
+                    self.tree_similarities = np.asarray(self._sims_pending, np.float64).tolist()
+            else:
+                self.last_report.sims_pending = self._sims_pending
+                # last-enqueued compute op of this transition: the next
+                # streaming transition drains it outside its phase timers
+                self._queue_tail = self._sims_pending
+                self.tree_similarities = []
+                deferred = True
             self._sims_pending = None
         self.last_report.num_keyframes = len(self.tree_final_imgs)
-        self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
+        if not deferred:
+            self.last_report.lpips_gaps = [float(s) for s in self.tree_similarities]
         self.last_report.phases = self.timer.summary()
         self.last_report.wall_s = time.time() - self._t_run0
 

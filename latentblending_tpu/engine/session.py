@@ -9,6 +9,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 
 from latentblending_tpu.utils import get_logger
 
@@ -178,9 +179,12 @@ def run_multi_transition(
                 _write_part(imgs, ms, target, errs)
                 if errs:
                     raise errs[0]
-            # sims sync (report-only) overlaps the encode thread — both
-            # sides release the GIL (relay transfer / cv2 encode)
-            be.finalize_report()
+            # sims are report-only and sit at the END of this part's device
+            # queue — syncing here would serialize the host against the
+            # whole part before the next one dispatches. Defer: the handle
+            # rides on the report; all parts resolve after the last is in
+            # flight (measured: 0.78 s blocked per part at 512²)
+            be.finalize_report(sync_sims=False)
             part_reports.append(be.last_report)
             log.info(f"transition {i + 1}/{len(kfs) - 1} done")
     finally:
@@ -196,7 +200,20 @@ def run_multi_transition(
     if part_reports:
         from latentblending_tpu.profiling import TransitionReport
 
+        # land the deferred per-part similarity handles (device work is
+        # long done — this is host copies only) and record the real
+        # blocked wall as the movie's single lpips_sync phase
+        t_sync0 = time.time()
+        for rep in part_reports:
+            rep.resolve_sims()
+        dt_sync = round(time.time() - t_sync0, 4)
+        be.tree_similarities = list(part_reports[-1].lpips_gaps)
         be.last_report = TransitionReport.merged(part_reports)
+        be.last_report.phases["lpips_sync"] = {
+            "total_s": dt_sync,
+            "count": len(part_reports),
+            "mean_s": round(dt_sync / len(part_reports), 4),
+        }
     ms.finalize()
     be.note_writer(ms)
     log.info(f"movie saved to {fp_movie} ({ms.nmb_frames} frames)")

@@ -45,6 +45,19 @@ class TransitionReport:
     lpips_gaps: list = dataclasses.field(default_factory=list)
     phases: dict = dataclasses.field(default_factory=dict)
     wall_s: float = 0.0
+    # deferred gap-similarity device handle (finalize_report(sync_sims=False)):
+    # chained-movie sessions stash it here so no part's sync blocks the next
+    # part's dispatch, and resolve all parts after the last one is in flight
+    sims_pending: object = None
+
+    def resolve_sims(self) -> None:
+        """Land a deferred similarity handle into lpips_gaps (no-op if
+        already resolved). One host copy per part."""
+        if self.sims_pending is not None:
+            import numpy as np
+
+            self.lpips_gaps = [float(s) for s in np.asarray(self.sims_pending, np.float64)]
+            self.sims_pending = None
 
     def as_dict(self) -> dict:
         gaps = self.lpips_gaps
@@ -69,6 +82,7 @@ class TransitionReport:
         (each recycled seam keyframe is counted once)."""
         out = cls()
         for i, r in enumerate(reports):
+            r.resolve_sims()
             out.num_steps = r.num_steps or out.num_steps
             out.num_keyframes += r.num_keyframes - (1 if i > 0 and r.num_keyframes else 0)
             out.levels.extend(r.levels)

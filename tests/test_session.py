@@ -65,6 +65,18 @@ def test_run_multi_transition_tiny(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 16  # 2 transitions × 8 frames
     cap.release()
 
+    # deferred per-part sims (finalize_report(sync_sims=False)) must all
+    # land by movie end: merged report carries every part's gaps, nothing
+    # pending, and the engine exposes the LAST part's similarities
+    rep = be.last_report
+    assert rep.sims_pending is None
+    n_gaps_per_part = len(be.tree_similarities)
+    assert n_gaps_per_part >= 1
+    assert len(rep.lpips_gaps) == 2 * n_gaps_per_part
+    assert all(isinstance(g, float) for g in rep.lpips_gaps)
+    assert rep.lpips_gaps[-n_gaps_per_part:] == be.tree_similarities
+    assert "lpips_sync" in rep.phases and rep.phases["lpips_sync"]["count"] == 2
+
 
 @pytest.mark.slow
 def test_run_multi_transition_overlap_matches_serial(tmp_path):

@@ -127,9 +127,12 @@ def _probe_backend():
 def _make_holder(spec: str, mesh):
     snapshot = os.environ.get("LB_SNAPSHOT")
     if snapshot:
-        return SDXLHolder.from_pretrained(snapshot, mesh=mesh), "snapshot"
-    dtype = jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32
-    return SDXLHolder.from_random(spec, dtype=dtype, mesh=mesh), "random-init"
+        out = SDXLHolder.from_pretrained(snapshot, mesh=mesh), "snapshot"
+    else:
+        dtype = jnp.bfloat16 if spec.startswith("sdxl") else jnp.float32
+        out = SDXLHolder.from_random(spec, dtype=dtype, mesh=mesh), "random-init"
+    _heartbeat()
+    return out
 
 
 def _emit(key: str, result: dict) -> None:
@@ -137,6 +140,7 @@ def _emit(key: str, result: dict) -> None:
     and re-print the cumulative AGGREGATE line (headline-first) so the last
     JSON line on stdout is never a worst-config accident."""
     print(json.dumps(result), flush=True)
+    _heartbeat()
     fp = os.environ.get("LB_BENCH_RESULTS_FILE")
     if not fp:
         return
@@ -260,10 +264,12 @@ def _bench_single(dh, be, label, mesh, weights, setup_s, duration=DURATION_S) ->
     # its lerp compiles per target frame count.
     warm_dur = duration if os.environ.get("LB_DEVICE_FILLUP") == "1" else 2.0
     be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=warm_dur, fps=FPS, fixed_seeds=[420, 421])
+    _heartbeat()
     for _ in range(2):
         if be.planner_calibrated():
             break
         be.run_movie_transition(WARMUP_DIR + "/lb_bench_warmup.mp4", duration_transition=warm_dur, fps=FPS, fixed_seeds=[420, 421])
+        _heartbeat()
 
     # planner honesty: cost-model prediction BEFORE the timed run
     # (calibrations come from the warm-up runs only). Refresh dt_sync on
@@ -305,6 +311,7 @@ def _bench_chained(dh, be, mesh, weights, setup_s, dur_each=4.0) -> dict:
     warm_dur = dur_each if os.environ.get("LB_DEVICE_FILLUP") == "1" else 1.0
     run_multi_transition(be, project, WARMUP_DIR + "/lb_bench_chain_warmup.mp4",
                          duration_single_trans=warm_dur, fps=FPS)
+    _heartbeat()
     os.sync()  # see _bench_single: drain warm-up writeback before timing
     flops0 = dh.runner.executed_flops
     t0 = time.time()
@@ -353,20 +360,40 @@ def _legacy_single_spec(mesh):
     print(json.dumps(_bench_single(dh, be, label, mesh, weights, setup_s)), flush=True)
 
 
+_WD_STATE = {"beat_t": 0.0, "beat_cpu": 0.0}
+
+
+def _heartbeat():
+    """Mark bench progress for the milestone watchdog. Called at every
+    coarse milestone (probe ok, holder built, warm-up done, config
+    emitted)."""
+    _WD_STATE["beat_t"] = time.time()
+    _WD_STATE["beat_cpu"] = sum(os.times()[:2])
+
+
 def _start_stall_watchdog():
-    """os._exit(17) when the process makes NO CPU progress for
-    LB_BENCH_STALL_S (default 900 s): a wedged relay call blocks inside
-    C++ at 0 CPU forever and no Python signal can preempt it (observed
-    twice: 22+ min inside benchmark_speed). CPU-based, so long XLA
-    compiles (host CPU churns) and legitimate device scans (tens of
-    seconds each, with host activity between) never trip it. Set
-    LB_BENCH_STALL_S=0 to disable."""
+    """os._exit(17) on a wedged relay call so the orchestrator can retry.
+
+    Two detectors (either trips):
+    - NO CPU progress for LB_BENCH_STALL_S (default 900 s): the original
+      hard-wedge mode — blocked inside C++ at 0 CPU forever.
+    - no MILESTONE (_heartbeat) for LB_BENCH_MILESTONE_S (default 420 s)
+      with CPU duty < 20% since the last one: the soft-wedge mode seen on
+      degraded-relay days — the device call never returns but background
+      threads trickle ~5-10% CPU, defeating the pure-CPU test (observed
+      2026-08-20: two 15-min wedges at 9% CPU right after holder setup).
+      Legit long phases don't trip it: XLA compiles churn the host
+      (duty ≥ 20% refreshes the window), and healthy device scans between
+      milestones are tens of seconds, not 420.
+    Set LB_BENCH_STALL_S=0 to disable both."""
     import threading
 
     stall_s = float(os.environ.get("LB_BENCH_STALL_S", "900"))
+    milestone_s = float(os.environ.get("LB_BENCH_MILESTONE_S", "420"))
     if stall_s <= 0:
         return
     state = {"cpu": sum(os.times()[:2]), "t": time.time()}
+    _heartbeat()
 
     def loop():
         while True:
@@ -379,6 +406,15 @@ def _start_stall_watchdog():
                 print(f"bench: no CPU progress for {now - state['t']:.0f}s — "
                       "wedged relay call, exiting 17", file=sys.stderr)
                 os._exit(17)
+            beat_gap = now - _WD_STATE["beat_t"]
+            if milestone_s > 0 and beat_gap > milestone_s:
+                duty = (cpu - _WD_STATE["beat_cpu"]) / beat_gap
+                if duty < 0.2:
+                    print(f"bench: no milestone for {beat_gap:.0f}s at "
+                          f"{duty * 100:.0f}% CPU — wedged relay call, exiting 17",
+                          file=sys.stderr)
+                    os._exit(17)
+                _heartbeat()  # compiling/working legitimately — restart window
 
     threading.Thread(target=loop, daemon=True, name="lb-stall-watchdog").start()
 
@@ -474,6 +510,7 @@ def main():
     t_setup = time.time()
     dh, weights = _make_holder("sdxl-turbo", mesh)
     be = BlendingEngine(dh)
+    _heartbeat()
     setup_s = time.time() - t_setup
     if not _config_done("turbo"):
         _emit("turbo", _bench_single(dh, be, "SDXL-Turbo 512x512", mesh, weights, setup_s))
@@ -504,6 +541,7 @@ def _run_base_group(mesh, deadline):
             dh, weights = _make_holder("sdxl-base", mesh)
             if not _config_done("base"):
                 be = BlendingEngine(dh)
+                _heartbeat()
                 be.set_branching(nmb_max_branches=10)
                 setup_s = time.time() - t_setup
                 _emit("base", _bench_single(dh, be, "SDXL-base 1024x1024 30-step", mesh, weights, setup_s))

@@ -398,25 +398,32 @@ def _start_stall_watchdog():
     def loop():
         while True:
             time.sleep(30)
-            cpu = sum(os.times()[:2])
-            now = time.time()
-            if cpu - state["cpu"] > 1.0:
-                state["cpu"], state["t"] = cpu, now
-            elif now - state["t"] > stall_s:
-                print(f"bench: no CPU progress for {now - state['t']:.0f}s — "
-                      "wedged relay call, exiting 17", file=sys.stderr)
+            verdict = _watchdog_check(time.time(), sum(os.times()[:2]),
+                                      state, _WD_STATE, stall_s, milestone_s)
+            if verdict:
+                print(f"bench: {verdict} — wedged relay call, exiting 17",
+                      file=sys.stderr)
                 os._exit(17)
-            beat_gap = now - _WD_STATE["beat_t"]
-            if milestone_s > 0 and beat_gap > milestone_s:
-                duty = (cpu - _WD_STATE["beat_cpu"]) / beat_gap
-                if duty < 0.2:
-                    print(f"bench: no milestone for {beat_gap:.0f}s at "
-                          f"{duty * 100:.0f}% CPU — wedged relay call, exiting 17",
-                          file=sys.stderr)
-                    os._exit(17)
-                _heartbeat()  # compiling/working legitimately — restart window
 
     threading.Thread(target=loop, daemon=True, name="lb-stall-watchdog").start()
+
+
+def _watchdog_check(now, cpu, state, wd_state, stall_s, milestone_s):
+    """One watchdog tick (pure, unit-testable — tests/test_bench_aggregate.py).
+    Mutates `state`/`wd_state` windows; returns a kill-reason string or
+    None. Detectors documented on _start_stall_watchdog."""
+    if cpu - state["cpu"] > 1.0:
+        state["cpu"], state["t"] = cpu, now
+    elif now - state["t"] > stall_s:
+        return f"no CPU progress for {now - state['t']:.0f}s"
+    beat_gap = now - wd_state["beat_t"]
+    if milestone_s > 0 and beat_gap > milestone_s:
+        duty = (cpu - wd_state["beat_cpu"]) / beat_gap
+        if duty < 0.2:
+            return f"no milestone for {beat_gap:.0f}s at {duty * 100:.0f}% CPU"
+        # compiling/working legitimately — restart the milestone window
+        wd_state["beat_t"], wd_state["beat_cpu"] = now, cpu
+    return None
 
 
 def _config_done(key: str) -> bool:

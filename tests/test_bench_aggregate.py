@@ -49,3 +49,54 @@ def test_emit_without_results_file_prints_config_line_only(monkeypatch, capsys):
     bench._emit("turbo", _fake("t", 100.0, 5.0, "sdxl-turbo"))
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 1
+
+
+def test_watchdog_soft_wedge_detection():
+    """Milestone watchdog: a soft wedge (CPU trickle, no milestones) is
+    killed; legit long compiles (high CPU duty) and healthy milestone
+    cadence are not. Regression for the 2026-08-20 degraded-relay day —
+    two 15-min wedges at 9% CPU defeated the pure-CPU stall test."""
+    import bench
+
+    def fresh(t0=1000.0, cpu0=100.0):
+        return ({"cpu": cpu0, "t": t0}, {"beat_t": t0, "beat_cpu": cpu0})
+
+    # 1. soft wedge: 9% CPU trickle, no milestone for > 420 s -> kill
+    state, wd = fresh()
+    # trickle feeds the pure-CPU detector every tick (2.7 s per 30 s tick)
+    verdict = None
+    for i in range(1, 20):
+        now = 1000.0 + 30 * i
+        cpu = 100.0 + 2.7 * i
+        verdict = bench._watchdog_check(now, cpu, state, wd, 900.0, 420.0)
+        if verdict:
+            break
+    assert verdict and "no milestone" in verdict
+    assert now - 1000.0 <= 450.0  # caught within one tick of the window
+
+    # 2. legit compile: 100% CPU duty, no milestone -> window restarts, no kill
+    state, wd = fresh()
+    for i in range(1, 40):
+        now = 1000.0 + 30 * i
+        cpu = 100.0 + 30.0 * i
+        assert bench._watchdog_check(now, cpu, state, wd, 900.0, 420.0) is None
+
+    # 3. healthy cadence: heartbeat every 120 s resets the window -> no kill
+    state, wd = fresh()
+    for i in range(1, 40):
+        now = 1000.0 + 30 * i
+        cpu = 100.0 + 2.7 * i
+        if i % 4 == 0:
+            wd["beat_t"], wd["beat_cpu"] = now, cpu
+        assert bench._watchdog_check(now, cpu, state, wd, 900.0, 420.0) is None
+
+    # 4. hard wedge: ZERO CPU for > 900 s still trips the original detector
+    state, wd = fresh()
+    wd["beat_t"] = float("inf")  # isolate the CPU detector
+    verdict = None
+    for i in range(1, 40):
+        now = 1000.0 + 30 * i
+        verdict = bench._watchdog_check(now, 100.0, state, wd, 900.0, 0.0)
+        if verdict:
+            break
+    assert verdict and "no CPU progress" in verdict

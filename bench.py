@@ -461,7 +461,10 @@ def _orchestrate():
     results_fp = os.environ.get("LB_BENCH_RESULTS_FILE") or tempfile.mktemp(prefix="lb_bench_results_")
     try:
         for group, min_s in (("turbo", 240.0), ("base", 900.0)):
-            for attempt in (1, 2):
+            # base gets a 3rd attempt: its wedge-prone first device call
+            # (benchmark_speed) now dies fast (~7.5 min via the milestone
+            # watchdog), so three attempts still fit the budget guard
+            for attempt in (1, 2, 3) if group == "base" else (1, 2):
                 remaining = total - (time.time() - t0)
                 if remaining < min_s:
                     print(f"bench: budget spent — skipping group {group}", file=sys.stderr)
@@ -480,8 +483,9 @@ def _orchestrate():
                     rc = -9
                 if rc == 0:
                     break
+                last = 3 if group == "base" else 2
                 print(f"bench: group {group} attempt {attempt} failed rc={rc}"
-                      + ("" if attempt == 2 else " — retrying"), file=sys.stderr)
+                      + ("" if attempt == last else " — retrying"), file=sys.stderr)
     finally:
         for fp in (done_fp, results_fp):
             if os.path.isfile(fp):
@@ -496,6 +500,14 @@ def main():
         return
     _probe_backend()
     _start_stall_watchdog()
+    # engine ticks a progress callback after each completed device call in
+    # long phases — the milestone watchdog then distinguishes a SLOW relay
+    # (ticks flow) from a WEDGED call (ticks stop). Without this, a
+    # degraded-relay benchmark_speed (>420 s, low CPU) is indistinguishable
+    # from the historical wedge at the same site.
+    from latentblending_tpu.utils import set_progress_hook
+
+    set_progress_hook(_heartbeat)
     mesh = _make_mesh_if_multichip()
     if os.environ.get("LB_BENCH_SPEC"):
         _legacy_single_spec(mesh)

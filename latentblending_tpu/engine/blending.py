@@ -49,7 +49,7 @@ from latentblending_tpu.ops.schedules import (
 )
 from latentblending_tpu.runtime.denoise import Conditioning
 from latentblending_tpu.runtime.holder import SDXLHolder
-from latentblending_tpu.utils import get_logger
+from latentblending_tpu.utils import get_logger, tick_progress
 
 log = get_logger(__name__)
 
@@ -320,14 +320,17 @@ class BlendingEngine:
             run = lambda: self.dh.run_diffusion_batched(cond, lat0, idx_start=0, guidance_scale=g)
             traj = run()  # compile
             _sync(traj)
+            tick_progress()
             t0 = time.time()
             traj = run()
             _sync(traj)
+            tick_progress()
             sample = (time.time() - t0) / (2 * N)
             self._observe_unet_step(sample)
             self._dt_step_by_batch[2] = self._observe(self._dt_step_by_batch.get(2), sample)
             pm1 = self.dh.decode_to_pm1_batched(traj[-1])  # compile
             _sync(pm1)
+            tick_progress()
             t0 = time.time()
             pm1 = self.dh.decode_to_pm1_batched(traj[-1])
             _sync(pm1)
@@ -753,6 +756,7 @@ class BlendingEngine:
                     k, idx_injection, defer_sims=is_last,
                     predicted=predictive, sync=(not predictive) or is_last,
                 )
+                tick_progress()
                 done += k
             self.last_report.levels.append(
                 {"idx_injection": int(idx_injection), "stems": int(nmb_stems),
@@ -949,6 +953,7 @@ class BlendingEngine:
                     k, idx_injection, defer_sims=is_last,
                     predicted=predictive, sync=(not predictive) or is_last,
                 )
+                tick_progress()
                 done += k
             self.last_report.levels.append(
                 {"idx_injection": int(idx_injection), "stems": int(nmb_stems), "wall_s": round(time.time() - t_lvl, 3)}
@@ -1114,6 +1119,7 @@ class BlendingEngine:
                 win_steps=win_steps, win_mask=win_mask, pin_steps=pins,
             )
             _sync(traj)
+            tick_progress()
             if self.dh.last_run_was_warm:
                 # the fused scan runs EVERY row for all N steps — its
                 # per-(row,step) cost is a separate calibration from the
@@ -1191,6 +1197,7 @@ class BlendingEngine:
             for r, row in enumerate(rows):
                 pm1_of[row] = pm1[r]
                 chunk_of[row] = (chunk, r)
+            tick_progress()
         return pm1_of, chunk_of
 
     def _plan_multilevel(self, recycled1: bool):
@@ -1339,6 +1346,7 @@ class BlendingEngine:
                 win_steps=win_steps, win_mask=win_mask, pin_steps=pins,
             )
             _sync(trajs[-1])
+            tick_progress()
             if self.dh.last_run_was_warm:
                 self.dt_unet_step_fused_multi = self._observe(
                     self.dt_unet_step_fused_multi, (time.time() - t0) / row_steps

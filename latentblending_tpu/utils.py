@@ -10,6 +10,29 @@ import logging
 import time
 
 
+_progress_hook = None
+
+
+def set_progress_hook(fn) -> None:
+    """Register a zero-arg liveness callback. The engine calls
+    tick_progress() after each completed device call in long phases
+    (speed benchmark, per-level rounds, decode chunks) so an external
+    watchdog (bench.py's milestone detector) can distinguish a SLOW relay
+    (ticks keep flowing, one per call) from a WEDGED one (a single device
+    call never returns — ticks stop). Pass None to unregister."""
+    global _progress_hook
+    _progress_hook = fn
+
+
+def tick_progress() -> None:
+    hook = _progress_hook
+    if hook is not None:
+        try:
+            hook()
+        except Exception:
+            pass
+
+
 def get_logger(name: str = "latentblending_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     if not logger.handlers:
